@@ -1,0 +1,183 @@
+package graft.core
+
+/** Integer geohash codec (the engine's deterministic H3/S2-style cell id).
+  *
+  * Implements the published geohash bit-interleave algorithm
+  * (https://mmcloughlin.com/posts/geohash-assembly), matching the behavior
+  * of the reference implementation at
+  * `/root/reference/cxx/src/library/geohash/int64.cpp:50-109` (spread /
+  * squash / interleave, range encode with 2^32 quantization) and
+  * `/root/reference/cxx/include/pyinterp/geohash/int64.hpp:28-120`
+  * (precision shifts, bounding boxes, neighbors).
+  *
+  * All values are carried as JVM `Long`; hashes at precision <= 62 bits
+  * are non-negative, and the full 64-bit interleave uses the same two's
+  * complement bit pattern as the reference's uint64.
+  */
+object GeoHash {
+
+  final val Exp232 = 4294967296.0 // 2^32
+  final val InvExp232 = 1.0 / Exp232
+
+  /** Spread the 32 bits of x into even bit positions of a 64-bit word. */
+  def spread(x: Long): Long = {
+    var r = x & 0xFFFFFFFFL
+    r = (r | (r << 16)) & 0x0000FFFF0000FFFFL
+    r = (r | (r << 8)) & 0x00FF00FF00FF00FFL
+    r = (r | (r << 4)) & 0x0F0F0F0F0F0F0F0FL
+    r = (r | (r << 2)) & 0x3333333333333333L
+    r = (r | (r << 1)) & 0x5555555555555555L
+    r
+  }
+
+  /** Squash the even bit levels of x into a 32-bit word (low half of Long). */
+  def squash(x0: Long): Long = {
+    var x = x0 & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+    x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+    x
+  }
+
+  /** Encode x in [-r, r] to a uint32 (carried in a Long). */
+  def encodeRange(x: Double, r: Double): Long = {
+    if (x >= r) 0xFFFFFFFFL
+    else {
+      val p = (x + r) / (2 * r)
+      (p * Exp232).toLong & 0xFFFFFFFFL
+    }
+  }
+
+  /** Decode a uint32 range encoding back to [-r, r] (min corner). */
+  def decodeRange(x: Long, r: Double): Double = {
+    if (x == 0xFFFFFFFFL) r
+    else 2 * r * (x.toDouble * InvExp232) - r
+  }
+
+  /** Full 64-bit encode: lat on even bits, lon on odd bits. */
+  def encodeFull(lon0: Double, lat: Double): Long = {
+    var lon = lon0
+    if (lon < -180.0 || lon > 180.0)
+      lon = GeoMath.normalizePeriod(lon, -180.0, 360.0)
+    spread(encodeRange(lat, 90)) | (spread(encodeRange(lon, 180)) << 1)
+  }
+
+  /** Encode at `precision` bits (hash occupies the low `precision` bits). */
+  def encode(lon: Double, lat: Double, precision: Int): Long = {
+    val full = encodeFull(lon, lat)
+    if (precision == 64) full else full >>> (64 - precision)
+  }
+
+  /** (lonErr, latErr) cell extents in degrees for a precision. */
+  def errorWithPrecision(precision: Int): (Double, Double) = {
+    val latBits = precision >> 1
+    val lonBits = precision - latBits
+    (360.0 * math.pow(2.0, -lonBits), 180.0 * math.pow(2.0, -latBits))
+  }
+
+  /** Bounding box (lonMin, latMin, lonMax, latMax) of a cell. */
+  def boundingBox(hash: Long, precision: Int): (Double, Double, Double, Double) = {
+    val full = hash << (64 - precision)
+    val (lonErr, latErr) = errorWithPrecision(precision)
+    val lat32 = squash(full)
+    val lon32 = squash(full >>> 1)
+    val lat = decodeRange(lat32, 90)
+    val lon = decodeRange(lon32, 180)
+    (lon, lat, lon + lonErr, lat + latErr)
+  }
+
+  /** Cell centroid (lon, lat). */
+  def centroid(hash: Long, precision: Int): (Double, Double) = {
+    val (x0, y0, x1, y1) = boundingBox(hash, precision)
+    ((x0 + x1) / 2, (y0 + y1) / 2)
+  }
+
+  /** The 8 neighbor cells, ordered N, NE, E, SE, S, SW, W, NW
+    * (`int64.cpp:225-253`).
+    */
+  def neighbors(hash: Long, precision: Int): Array[Long] = {
+    val (x0, y0, x1, y1) = boundingBox(hash, precision)
+    val lon = (x0 + x1) / 2
+    val lat = (y0 + y1) / 2
+    val dLon = x1 - x0
+    val dLat = y1 - y0
+    val lonInc = lon + dLon
+    val lonDec = lon - dLon
+    val latInc = lat + dLat
+    val latDec = lat - dLat
+    Array(
+      encode(lon, latInc, precision),
+      encode(lonInc, latInc, precision),
+      encode(lonInc, lat, precision),
+      encode(lonInc, latDec, precision),
+      encode(lon, latDec, precision),
+      encode(lonDec, latDec, precision),
+      encode(lonDec, lat, precision),
+      encode(lonDec, latInc, precision)
+    )
+  }
+
+  /** Grid covering a lon/lat box: returns (south-west hash, nLon, nLat)
+    * (`int64.cpp:259-288`). Hashes of the grid enumerate row-major from the
+    * SW corner via `neighborEast`/`neighborNorth` steps.
+    */
+  def gridProperties(lonMin: Double, latMin: Double, lonMax: Double,
+                     latMax: Double, precision: Int): (Long, Int, Int) = {
+    val hashSw = encode(lonMin, latMin, precision)
+    val boxSw = boundingBox(hashSw, precision)
+    val boxNe = boundingBox(encode(lonMax, latMax, precision), precision)
+    if (boxSw == boxNe) return (hashSw, 1, 1)
+    val lonOffset = if (lonMax == 180.0) 1 else 0
+    val latOffset = if (latMax == 90.0) 1 else 0
+    val (lonErr, latErr) = errorWithPrecision(precision)
+    val nLon = math.round((boxNe._1 - boxSw._1) / lonErr).toInt + lonOffset
+    val nLat = math.round((boxNe._2 - boxSw._2) / latErr).toInt + latOffset
+    (hashSw, nLon, nLat)
+  }
+
+  /** All cells covering the box [lonMin,lonMax]x[latMin,latMax]. */
+  def coverBox(lonMin: Double, latMin: Double, lonMax: Double,
+               latMax: Double, precision: Int): Array[Long] = {
+    val (hashSw, nLon, nLat) = gridProperties(lonMin, latMin, lonMax, latMax,
+      precision)
+    val (swLon, swLat, _, _) = boundingBox(hashSw, precision)
+    val (lonErr, latErr) = errorWithPrecision(precision)
+    val out = new Array[Long](nLon * nLat)
+    var k = 0
+    var i = 0
+    while (i < nLon) {
+      var j = 0
+      while (j < nLat) {
+        out(k) = encode(swLon + (i + 0.5) * lonErr,
+          math.min(90.0, swLat + (j + 0.5) * latErr), precision)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Cells covering a polygon: cover its bbox then keep cells whose
+    * centroid-or-intersection test passes. Mirrors the reference's
+    * `bounding_boxes(polygon, precision)` (`int64.hpp:138-163`) which keeps
+    * cells intersecting the geometry.
+    */
+  def coverPolygon(poly: Polygon2D, precision: Int): Array[Long] = {
+    val (lonMin, latMin, lonMax, latMax) = poly.bbox
+    coverBox(lonMin, latMin, lonMax, latMax, precision).filter { h =>
+      val (x0, y0, x1, y1) = boundingBox(h, precision)
+      poly.intersectsBox(x0, y0, x1, y1)
+    }
+  }
+
+  /** Re-encode a hash at a coarser precision (`pyinterp/geohash.py:14-21`
+    * transform semantics for integer codes): drop low bits.
+    */
+  def coarsen(hash: Long, fromPrecision: Int, toPrecision: Int): Long = {
+    require(toPrecision <= fromPrecision)
+    hash >>> (fromPrecision - toPrecision)
+  }
+}
