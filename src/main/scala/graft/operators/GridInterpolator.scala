@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import graft.core.{Axis, Bicubic, Boundary, Interpolate}
+
+/** Dense 2-D grid (x-major storage) + its axes — the broadcastable analog
+  * of the reference Grid2D (`/root/reference/cxx/include/pyinterp/pybind/
+  * grid.hpp:184-342`). `values(i * ny + j)` is z(x_i, y_j).
+  */
+final case class Grid2D(xAxis: Axis, yAxis: Axis, values: Array[Double])
+    extends Serializable {
+  require(values.length == xAxis.size.toLong * yAxis.size,
+    s"grid size ${values.length} != ${xAxis.size}x${yAxis.size}")
+  @inline def apply(i: Int, j: Int): Double = values(i * yAxis.size + j)
+}
+
+/** 3-D grid: z-axis stacked planes of Grid2D (z may be a temporal axis
+  * carried as epoch-encoded doubles).
+  */
+final case class Grid3D(xAxis: Axis, yAxis: Axis, zAxis: Axis,
+                        values: Array[Double]) extends Serializable {
+  @inline def apply(i: Int, j: Int, k: Int): Double =
+    values((i.toLong * yAxis.size * zAxis.size + j.toLong * zAxis.size + k).toInt)
+  def plane(k: Int): (Int, Int) => Double = (i, j) => apply(i, j, k)
+}
+
+/** Grid interpolation as a shuffle-free map stage: the grid is broadcast
+  * once per executor and each partition runs the per-thread kernel loop of
+  * the reference (`parallel_for` chunk ≙ partition,
+  * `pybind/windowed/bivariate.hpp:96-112`). Appends a `value` double
+  * column (NaN when the point cannot be framed).
+  *
+  * Methods: geometric {bilinear, idw, nearest}
+  * (`math/interpolate/geometric/bivariate.hpp`) and windowed {bicubic,
+  * spline-bilinear} (`math/interpolate/bivariate/bicubic.hpp`) with the
+  * reference default half-window of 3 (6x6) and undef|shrink boundaries
+  * (`pyinterp/regular_grid_interpolator.py:66-79`).
+  */
+object GridInterpolator {
+
+  def bivariate(spark: SparkSession, df: DataFrame, xCol: String, yCol: String,
+                grid: Grid2D, method: String, halfWindow: Int = 3,
+                boundary: Boundary.Value = Boundary.Undef,
+                outputCol: String = "value"): DataFrame = {
+    val bc: Broadcast[Grid2D] = spark.sparkContext.broadcast(grid)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, DoubleType, nullable = false))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val xIdx = df.schema.fieldIndex(xCol)
+    val yIdx = df.schema.fieldIndex(yCol)
+    val m = method
+    val hw = halfWindow
+    val bdy = boundary
+    df.mapPartitions { iter =>
+      val g = bc.value
+      val interp = new BivariateKernel(g, m, hw, bdy)
+      iter.map { row =>
+        val x = row.getDouble(xIdx)
+        val y = row.getDouble(yIdx)
+        Row.fromSeq(row.toSeq :+ interp(x, y))
+      }
+    }(enc)
+  }
+
+  /** Trivariate interpolation: bivariate on the two z-bracketing planes,
+    * then linear (or nearest) combine along z
+    * (`pybind/geometric/trivariate.hpp:46-120`,
+    * `pybind/windowed/trivariate.hpp:36-113`).
+    */
+  def trivariate(spark: SparkSession, df: DataFrame, xCol: String,
+                 yCol: String, zCol: String, grid: Grid3D, method: String,
+                 zMethod: String = "linear", halfWindow: Int = 3,
+                 boundary: Boundary.Value = Boundary.Undef,
+                 outputCol: String = "value"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(grid)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, DoubleType, nullable = false))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val xIdx = df.schema.fieldIndex(xCol)
+    val yIdx = df.schema.fieldIndex(yCol)
+    val zIdx = df.schema.fieldIndex(zCol)
+    val m = method
+    val zm = zMethod
+    val hw = halfWindow
+    val bdy = boundary
+    df.mapPartitions { iter =>
+      val g = bc.value
+      val nz = g.zAxis.size
+      // one bivariate kernel per z-plane, built lazily and cached
+      val planes = new Array[BivariateKernel](nz)
+      def planeKernel(k: Int): BivariateKernel = {
+        if (planes(k) == null) {
+          val vals = new Array[Double](g.xAxis.size * g.yAxis.size)
+          var i = 0
+          while (i < g.xAxis.size) {
+            var j = 0
+            while (j < g.yAxis.size) {
+              vals(i * g.yAxis.size + j) = g(i, j, k)
+              j += 1
+            }
+            i += 1
+          }
+          planes(k) = new BivariateKernel(
+            Grid2D(g.xAxis, g.yAxis, vals), m, hw, bdy)
+        }
+        planes(k)
+      }
+      iter.map { row =>
+        val x = row.getDouble(xIdx)
+        val y = row.getDouble(yIdx)
+        val z = row.getDouble(zIdx)
+        val v = g.zAxis.findIndexes(z) match {
+          case None => Double.NaN
+          case Some((k0, k1)) =>
+            val z0 = g.zAxis(k0)
+            val z1 = g.zAxis(k1)
+            if (zm == "nearest") {
+              val k = if (math.abs(z - z0) <= math.abs(z1 - z)) k0 else k1
+              planeKernel(k)(x, y)
+            } else {
+              val v0 = planeKernel(k0)(x, y)
+              val v1 = planeKernel(k1)(x, y)
+              val t = if (z1 == z0) 0.0 else (z - z0) / (z1 - z0)
+              v0 + t * (v1 - v0)
+            }
+        }
+        Row.fromSeq(row.toSeq :+ v)
+      }
+    }(enc)
+  }
+}
+
+/** Per-partition bivariate kernel with the geometric / windowed dispatch
+  * of `pyinterp/regular_grid_interpolator.py:45-63`. Windowed path keeps
+  * a per-instance window cache (reload only when the query leaves the
+  * cached window — `math/interpolate/cache.hpp` behavior), so feeding
+  * cell-sorted partitions makes consecutive lookups cache hits.
+  */
+final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
+                            boundary: Boundary.Value) extends Serializable {
+  private val xAxis = grid.xAxis
+  private val yAxis = grid.yAxis
+
+  // window cache state (windowed methods)
+  private var cachedXIdx: Array[Int] = null
+  private var cachedYIdx: Array[Int] = null
+  private var cachedBicubic: Bicubic = null
+  private var cachedXs: Array[Double] = null
+  private var cachedYs: Array[Double] = null
+  private var cachedZ: Array[Array[Double]] = null
+
+  def apply(x: Double, y: Double): Double = method match {
+    case "bilinear" | "idw" | "nearest" => geometric(x, y)
+    case "bicubic" => windowedBicubic(x, y)
+    case "spline_bilinear" => windowedSplineLinear(x, y)
+    case other => throw new IllegalArgumentException(s"method $other")
+  }
+
+  private def geometric(x: Double, y: Double): Double = {
+    val fx = xAxis.findIndexes(x)
+    val fy = yAxis.findIndexes(y)
+    if (fx.isEmpty || fy.isEmpty) return Double.NaN
+    val (i0, i1) = fx.get
+    val (j0, j1) = fy.get
+    val x0 = xAxis(i0)
+    var x1 = xAxis(i1)
+    val y0 = yAxis(j0)
+    val y1 = yAxis(j1)
+    // periodic seam: keep x1 on the +period side of x0
+    var xq = xAxis.normalize(x)
+    if (xAxis.isPeriodic && x1 < x0) x1 += xAxis.period
+    if (xAxis.isPeriodic && xq < x0) xq += xAxis.period
+    val q00 = grid(i0, j0)
+    val q01 = grid(i0, j1)
+    val q10 = grid(i1, j0)
+    val q11 = grid(i1, j1)
+    method match {
+      case "bilinear" => Interpolate.bilinear(xq, y, x0, y0, x1, y1, q00, q01, q10, q11)
+      case "idw" => Interpolate.idw4(xq, y, x0, y0, x1, y1, q00, q01, q10, q11)
+      case "nearest" => Interpolate.nearest4(xq, y, x0, y0, x1, y1, q00, q01, q10, q11)
+    }
+  }
+
+  private def loadWindow(x: Double, y: Double): Boolean = {
+    val wx = xAxis.window(x, halfWindow, boundary)
+    val wy = yAxis.window(y, halfWindow, boundary)
+    if (wx.isEmpty || wy.isEmpty) return false
+    val xi = wx.get._1
+    val yi = wy.get._1
+    if (cachedXIdx != null && java.util.Arrays.equals(xi, cachedXIdx) &&
+        java.util.Arrays.equals(yi, cachedYIdx)) return true
+    val xs = new Array[Double](xi.length)
+    var unwrapOffset = 0.0
+    var prev = Double.NegativeInfinity
+    var i = 0
+    while (i < xi.length) {
+      var xv = xAxis(xi(i)) + unwrapOffset
+      if (xAxis.isPeriodic && xv <= prev) { // wrap across seam
+        unwrapOffset += xAxis.period
+        xv = xAxis(xi(i)) + unwrapOffset
+      }
+      xs(i) = xv
+      prev = xv
+      i += 1
+    }
+    val ys = yi.map(yAxis(_))
+    val z = Array.ofDim[Double](xi.length, yi.length)
+    i = 0
+    while (i < xi.length) {
+      var j = 0
+      while (j < yi.length) {
+        z(i)(j) = grid(xi(i), yi(j))
+        j += 1
+      }
+      i += 1
+    }
+    cachedXIdx = xi
+    cachedYIdx = yi
+    cachedXs = xs
+    cachedYs = ys
+    cachedZ = z
+    cachedBicubic = null
+    true
+  }
+
+  /** Normalize query x into the cached (possibly unwrapped) window. */
+  private def queryX(x: Double): Double = {
+    if (!xAxis.isPeriodic) return x
+    var xq = xAxis.normalize(x)
+    if (xq < cachedXs(0)) xq += xAxis.period
+    xq
+  }
+
+  private def windowedBicubic(x: Double, y: Double): Double = {
+    if (!loadWindow(x, y)) return Double.NaN
+    if (cachedBicubic == null)
+      cachedBicubic = new Bicubic(cachedXs, cachedYs, cachedZ)
+    cachedBicubic(queryX(x), y)
+  }
+
+  /** Separable spline: cspline along x for each window row, then along y
+    * (`math/interpolate/bivariate/spline.hpp` behavior).
+    */
+  private def windowedSplineLinear(x: Double, y: Double): Double = {
+    if (!loadWindow(x, y)) return Double.NaN
+    val xq = queryX(x)
+    val tmp = new Array[Double](cachedYs.length)
+    var j = 0
+    while (j < cachedYs.length) {
+      val colv = new Array[Double](cachedXs.length)
+      var i = 0
+      while (i < cachedXs.length) { colv(i) = cachedZ(i)(j); i += 1 }
+      tmp(j) = Interpolate.cspline(cachedXs, colv, xq)
+      j += 1
+    }
+    Interpolate.cspline(cachedYs, tmp, y)
+  }
+}
