@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Image encode/decode for the image+caption table (`BASELINE.json.
+  * input_hint`): bytes are real PNG (lossless) or JPEG (lossy, PSNR-gated)
+  * grayscale rasters, encoded/decoded with the JDK's ImageIO — no native
+  * deps, deterministic bytes for fixed input.
+  */
+object ImageCodec {
+
+  /** Encode a row-major float field in [0,1] as grayscale w x h. */
+  def encode(pixels: Array[Float], w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixels(y * w + x)
+        val b = math.max(0, math.min(255, math.round(v * 255f)))
+        raster.setSample(x, y, 0, b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    fmt match {
+      case "png" => ImageIO.write(img, "png", bos)
+      case "jpeg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(0.95f)
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), params)
+        writer.dispose()
+        ios.close()
+      case other => throw new IllegalArgumentException(s"fmt $other")
+    }
+    bos.toByteArray
+  }
+
+  /** Decode back to floats in [0,1], row-major. */
+  def decode(bytes: Array[Byte]): (Array[Float], Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = raster.getSample(x, y, 0) / 255f
+        x += 1
+      }
+      y += 1
+    }
+    (out, w, h)
+  }
+
+  /** Peak signal-to-noise ratio in dB between two [0,1] rasters. */
+  def psnr(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length)
+    var mse = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) - b(i)).toDouble
+      mse += d * d
+      i += 1
+    }
+    mse /= a.length
+    if (mse == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(1.0 / mse)
+  }
+}
