@@ -1,13 +1,743 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Axis, Polygon2D}
+import graft.functions.gf
+import graft.functions.aggregators
+import graft.operators._
+
+/** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where the
+  * operator is SQL-expressible) per implemented operator of SURVEY.md §2.
+  *
+  * All inputs derive deterministically from the driver-generated parquet
+  * tables in `sfDir` so the DuckDB oracle can reproduce them; fp-exactness
+  * notes inline (integer-valued doubles keep sums exact; expression
+  * nesting mirrors the SQL so IEEE results are bit-identical).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared derivations -------------------------------------------------
+
+  /** Deterministic lon/lat from an integer key: multiples of 0.01 degrees,
+    * identical in Spark and DuckDB (`(k*7919%36000)/100-180`).
+    */
+  private def lonOf(k: Column): Column =
+    (k * 7919 % 36000).cast("double") / 100.0 - 180.0
+  private def latOf(k: Column): Column =
+    (k * 104729 % 18000).cast("double") / 100.0 - 90.0
+
+  private val lonSql = "CAST(%s * 7919 %% 36000 AS DOUBLE) / 100.0 - 180.0"
+  private val latSql = "CAST(%s * 104729 %% 18000 AS DOUBLE) / 100.0 - 90.0"
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  /** DuckDB SQL computing the geohash-int64 of (lonExpr, latExpr) at
+    * `precision` bits — HUGEINT spread/interleave mirroring
+    * `graft.core.GeoHash` exactly.
+    */
+  def geohashSql(lonExpr: String, latExpr: String, precision: Int): String = {
+    def spread(v: String): String = {
+      var e = v
+      val steps = Seq(
+        (16, "281470681808895"),      // 0x0000FFFF0000FFFF
+        (8, "71777214294589695"),     // 0x00FF00FF00FF00FF
+        (4, "1085102592571150095"),   // 0x0F0F0F0F0F0F0F0F
+        (2, "3689348814741910323"),   // 0x3333333333333333
+        (1, "6148914691236517205"))   // 0x5555555555555555
+      steps.foreach { case (sh, mask) =>
+        e = s"((($e) | (($e) << $sh)) & $mask::HUGEINT)"
+      }
+      e
+    }
+    def encodeRange(x: String, r: Int): String =
+      s"(CASE WHEN ($x) >= $r.0 THEN 4294967295::HUGEINT ELSE " +
+        s"CAST(trunc((($x) + $r.0) / ${2 * r}.0 * 4294967296.0) AS HUGEINT) END)"
+    val latBits = spread(encodeRange(latExpr, 90))
+    val lonBits = spread(encodeRange(lonExpr, 180))
+    val full = s"(($latBits) | (($lonBits) << 1))"
+    s"CAST(($full // ${java.math.BigInteger.valueOf(2).pow(64 - precision)}::HUGEINT) AS BIGINT)"
+  }
+
+  // ---- flagship -----------------------------------------------------------
+
+  /** Flagship: the tile pipeline at smoke scale — spatial join of
+    * synthesized imagery to cells + bicubic resample + per-pixel binning.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val images = graft.pipeline.ImageTableGen.generate(spark, 64, 16)
+    graft.pipeline.TilePipeline.tiles(spark, images, precision = 12,
+      tileSize = 8, method = "bicubic")
+      .select($"cell", $"n_images")
+  }
+
+  // ---- query catalog ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ======== binning / statistics (§2.4) ========
+    "q_binning2d_simple" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val ax = Axis.regular(0.0, 29.0, 30)
+      new Binning2D(ax, ax).simple(li,
+        (col("l_partkey") % 30).cast("double") + 0.2,
+        (col("l_suppkey") % 30).cast("double") + 0.2,
+        col("l_quantity"))
+        .select(col("ix"), col("iy"), col("count").as("cnt"),
+          col("sum").as("sum_z"),
+          (col("sum") / col("count")).as("mean_z"),
+          col("min").as("min_z"), col("max").as("max_z"))
+    }),
+    "q_binning2d_linear" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val ax = Axis.regular(0.0, 29.0, 30)
+      new Binning2D(ax, ax).linear(li,
+        (col("l_partkey") % 29).cast("double") + 0.25,
+        (col("l_suppkey") % 29).cast("double") + 0.75,
+        col("l_quantity"))
+        .select(col("ix"), col("iy"), col("count").as("cnt"),
+          round(col("sum_of_weights"), 6).as("sum_w"),
+          round(col("sum"), 6).as("sum_wz"))
+    }),
+    "q_binning1d_weighted" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val ax = Axis.regular(0.0, 19.0, 20)
+      new Binning1D(ax, range = Some((0.0, 15.0))).push(li,
+        (col("l_partkey") % 20).cast("double") + 0.2,
+        col("l_quantity"),
+        (col("l_suppkey") % 5 + 1).cast("double"))
+        .select(col("ix"), col("count").as("cnt"),
+          col("sum_of_weights").as("sum_w"),
+          col("sum").as("sum_wz"),
+          (col("sum") / col("sum_of_weights")).as("wmean"))
+    }),
+    "q_stats_moments" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      li.groupBy(col("l_returnflag").as("flag"))
+        .agg(aggregators.stats_agg1(col("l_quantity")).as("st"))
+        .select(col("flag"), col("st.count").as("cnt"),
+          col("st.sum").as("sum_z"), col("st.min").as("min_z"),
+          col("st.max").as("max_z"),
+          (round(col("st.mean"), 9) + 0.0).as("mean_z"),
+          (round(col("st.variance"), 4) + 0.0).as("var_z"),
+          (round(col("st.skewness"), 4) + 0.0).as("skew_z"),
+          (round(col("st.kurtosis"), 4) + 0.0).as("kurt_z"))
+    }),
+    "q_histogram2d" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      // per-bin digest; exact fields (count/min/max) oracle-checked
+      li.groupBy((col("l_partkey") % 8).cast("int").as("ix"),
+          (col("l_suppkey") % 8).cast("int").as("iy"))
+        .agg(aggregators.tdigest_agg(col("l_extendedprice"),
+          Seq(0.5)).as("d"))
+        .select(col("ix"), col("iy"), col("d.count").as("cnt"),
+          col("d.min").as("min_v"), col("d.max").as("max_v"))
+    }),
+    "q_tdigest_quantiles" -> ((s, dir) => {
+      // quantile values are algorithm-specific -> rows-only check
+      val li = s.read.parquet(t(dir, "lineitem"))
+      li.agg(aggregators.tdigest_agg(col("l_extendedprice"),
+          Seq(0.25, 0.5, 0.75)).as("d"))
+        .select(col("d.count").as("cnt"),
+          col("d.quantiles")(0).as("q25"), col("d.quantiles")(1).as("q50"),
+          col("d.quantiles")(2).as("q75"))
+    }),
+
+    // ======== cell codec (§2.7) ========
+    "q_geohash_encode" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.select(col("event_id"),
+          gf.geohash_encode(lonOf(col("user_id")), latOf(col("user_id")),
+            40).as("cell"))
+    }),
+    "q_geohash_coarsen" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.select(gf.geohash_coarsen(
+          gf.geohash_encode(lonOf(col("user_id")), latOf(col("user_id")), 40),
+          40, 20).as("cell20"))
+        .groupBy("cell20").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ======== geodesy (§2.2) ========
+    "q_lla_to_ecef" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          round(gf.ecef_distance(lonOf(col("user_id")), latOf(col("user_id")),
+            lit(0.0), lit(0.0)), 3).as("dist_to_origin"))
+    }),
+
+    // ======== joins (§2.3) ========
+    "q_pip_join" -> ((s, dir) => {
+      val cust = s.read.parquet(t(dir, "customer"))
+      val pts = cust.select(col("c_custkey"),
+        ((col("c_custkey") % 100).cast("double") / 10.0).as("x"),
+        ((col("c_custkey") * 7 % 100).cast("double") / 10.0).as("y"))
+      PipJoin.broadcastJoin(s, pts, "x", "y",
+        Seq((1L, SparkEntry.pentagon)))
+        .select(col("c_custkey"), col("poly_id"))
+    }),
+    "q_knn_join" -> ((s, dir) => {
+      val part = s.read.parquet(t(dir, "part"))
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 50).cast("double").as("x"),
+        (col("p_partkey") * 13 % 50).cast("double").as("y"),
+        (col("p_partkey") % 97).cast("double").as("value"),
+        col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 50).cast("double") + 0.3).as("x"),
+        ((col("s_suppkey") * 3 % 50).cast("double") + 0.7).as("y"))
+      KnnJoin.knnJoinFlat(s, build, probe,
+          KnnJoin.Config(k = 4, geodetic = false))
+        .select(col("qid"), col("nid"), col("rank"))
+    }),
+    "q_knn_idw" -> ((s, dir) => {
+      val part = s.read.parquet(t(dir, "part"))
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 50).cast("double").as("x"),
+        (col("p_partkey") * 13 % 50).cast("double").as("y"),
+        (col("p_partkey") % 97).cast("double").as("value"),
+        col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 50).cast("double") + 0.3).as("x"),
+        ((col("s_suppkey") * 3 % 50).cast("double") + 0.7).as("y"))
+      KnnJoin.idw(s, build, probe, KnnJoin.Config(k = 4, geodetic = false))
+        .select(col("qid"), round(col("value"), 6).as("idw"),
+          col("neighbors"))
+    }),
+    "q_knn_window_boxcar" -> ((s, dir) => {
+      val part = s.read.parquet(t(dir, "part"))
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 50).cast("double").as("x"),
+        (col("p_partkey") * 13 % 50).cast("double").as("y"),
+        (col("p_partkey") % 97).cast("double").as("value"),
+        col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 50).cast("double") + 0.3).as("x"),
+        ((col("s_suppkey") * 3 % 50).cast("double") + 0.7).as("y"))
+      KnnJoin.windowFunction(s, build, probe,
+          KnnJoin.Config(k = 4, geodetic = false, windowKernel = "boxcar"))
+        .select(col("qid"), round(col("value"), 6).as("wval"),
+          col("neighbors"))
+    }),
+    "q_distance_join" -> ((s, dir) => {
+      // query_ball / ST_DWithin analog: all build points within radius
+      val part = s.read.parquet(t(dir, "part"))
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 50).cast("double").as("x"),
+        (col("p_partkey") * 13 % 50).cast("double").as("y"),
+        lit(0.0).as("value"), col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 50).cast("double") + 0.3).as("x"),
+        ((col("s_suppkey") * 3 % 50).cast("double") + 0.7).as("y"))
+      KnnJoin.distanceJoin(s, build, probe, radius = 2.0,
+          KnnJoin.Config(geodetic = false))
+        .select(col("qid"), col("nid"))
+    }),
+
+    // ======== grid interpolation (§2.5) ========
+    "q_bilinear_grid" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders"))
+      val g = SparkEntry.syntheticGrid41
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 400).cast("double") / 10.0).as("x"),
+        ((col("o_orderkey") * 3 % 400).cast("double") / 10.0).as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "bilinear")
+        .select(col("o_orderkey"), col("value").as("interp"))
+    }),
+    "q_bicubic_grid" -> ((s, dir) => {
+      // bicubic values have no SQL closed form -> rows-only check
+      val orders = s.read.parquet(t(dir, "orders"))
+      val g = SparkEntry.syntheticGrid41
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 300).cast("double") / 10.0 + 5.0).as("x"),
+        ((col("o_orderkey") * 3 % 300).cast("double") / 10.0 + 5.0).as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "bicubic")
+        .filter(!isnan(col("value")))
+        .select(col("o_orderkey"), col("value").as("interp"))
+    }),
+
+    // ======== temporal (§2.8) ========
+    "q_temporal_fields" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_period_merge" -> ((s, dir) => {
+      // PeriodList.merge: coalesce [ts, ts+10min] intervals per user
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val withEnd = ev.select(col("user_id"), col("ts"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("te"))
+      val marked = withEnd
+        .withColumn("prev_max", max(col("te"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_grp",
+          when(col("prev_max").isNull || col("ts") > col("prev_max"), 1)
+            .otherwise(0))
+        .withColumn("grp", sum(col("new_grp"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy(col("user_id"), col("grp"))
+        .agg(min(col("ts")).as("p_start"), max(col("te")).as("p_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("p_start"), col("p_end"),
+          col("n_events"))
+    }),
+    "q_track_decompose" -> ((s, dir) => {
+      // pass/segment decomposition: break when gap > 1h
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 1 HOUR"), 1)
+            .otherwise(0))
+        .withColumn("segment", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("segment"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("seg_start"))
+    }),
+    "q_fill_1d" -> ((s, dir) => {
+      // fill.matrix / fill.vector: linear interpolation across null runs
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") =!= "error", col("value")).as("z"))
+        .withColumn("rn", row_number().over(w))
+      val filled = base
+        .withColumn("pv", last(col("z"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("pr", last(when(col("z").isNotNull, col("rn")),
+          ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nv", first(col("z"), ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .withColumn("nr", first(when(col("z").isNotNull, col("rn")),
+          ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .withColumn("filled",
+          when(col("z").isNotNull, col("z"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("rn") - col("pr")).cast("double") *
+                (col("nv") - col("pv")) /
+                (col("nr") - col("pr")).cast("double"))
+            .otherwise(lit(null)))
+      filled.select(col("event_id"), round(col("filled"), 6).as("filled"))
+    }),
+
+    // ======== streaming-shape aggregation (§2.10, batch face) ========
+    "q_hourly_binning" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_v"))
+    }),
+
+    // ======== text / training-data ops ========
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.select(col("doc_id").as("id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_dups"), min("id").as("keep_id"))
+    }),
+    "q_token_stats" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .filter(col("doc_id") < 40)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
+          threshold = 0.05)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jac"))
+    }),
+    "q_minhash_lsh" -> ((s, dir) => {
+      // hash family is engine-specific (xxhash64) -> rows-only check
+      val docs = s.read.parquet(t(dir, "documents"))
+        .filter(col("doc_id") < 200)
+      Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 2, bands = 8,
+        rowsPerBand = 2, threshold = 0.2)
+    }),
+    "q_simhash" -> ((s, dir) => {
+      // xxhash64-based -> rows-only check
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.simhash(docs, "doc_id", "text")
+    }),
+    "q_doc_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    }),
+
+    // ======== similarity search ========
+    "q_topk_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val items = emb.select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.bruteForceTopK(items, queries, k = 5)
+        .select(col("qid"), col("id"), col("rank"))
+    }),
+    "q_ann_lsh_cosine" -> ((s, dir) => {
+      // LSH-bucketed ANN: engine-specific buckets -> rows-only check
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val items = emb.select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.lshTopK(items, queries, k = 5, planes = 6)
+    }),
+    "q_embedding_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .filter(col("vec_id") < 100)
+      Similarity.cosineNearDupPairs(
+        emb.select(col("vec_id").as("id"), col("embedding")),
+        threshold = 0.9, planes = 4)
+    }),
+
+    // ======== flagship pipeline (rows-only; verified in ScalaTest) ========
+    "q_tile_pipeline" -> ((s, dir) => {
+      val images = graft.pipeline.ImageTableGen.generate(s, 64, 16)
+      graft.pipeline.TilePipeline.tiles(s, images, precision = 12,
+        tileSize = 8, method = "bicubic")
+        .select(col("cell"), col("n_images"))
+    })
+  )
+
+  // pentagon with vertices off the 0.1 point grid (convex, ccw)
+  lazy val pentagon: Polygon2D = Polygon2D(Array(
+    (1.05, 0.55), (8.95, 1.15), (9.45, 6.35), (5.05, 9.85), (0.55, 5.95)))
+
+  /** 41x41 unit grid with integer-valued synthetic field
+    * f(i,j) = (i*31 + j*17) % 97 — SQL-computable corner values.
+    */
+  lazy val syntheticGrid41: Grid2D = {
+    val ax = Axis.regular(0.0, 40.0, 41)
+    val vals = new Array[Double](41 * 41)
+    for (i <- 0 until 41; j <- 0 until 41)
+      vals(i * 41 + j) = ((i * 31 + j * 17) % 97).toDouble
+    Grid2D(ax, ax, vals)
+  }
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  def oracleSql: Map[String, String] = {
+    val knnBuild =
+      """SELECT CAST(p_partkey % 50 AS DOUBLE) AS x,
+        | CAST(p_partkey * 13 % 50 AS DOUBLE) AS y,
+        | CAST(p_partkey % 97 AS DOUBLE) AS value, p_partkey AS id
+        | FROM part""".stripMargin.replace("\n", "")
+    val knnProbe =
+      """SELECT s_suppkey AS qid,
+        | CAST(s_suppkey % 50 AS DOUBLE) + 0.3 AS x,
+        | CAST(s_suppkey * 3 % 50 AS DOUBLE) + 0.7 AS y
+        | FROM supplier""".stripMargin.replace("\n", "")
+    val knnRanked =
+      s"""WITH b AS ($knnBuild), q AS ($knnProbe),
+         | d AS (SELECT q.qid, b.id AS nid, b.value,
+         |   (q.x-b.x)*(q.x-b.x)+(q.y-b.y)*(q.y-b.y) AS d2,
+         |   sqrt((q.x-b.x)*(q.x-b.x)+(q.y-b.y)*(q.y-b.y)) AS dist
+         |  FROM q CROSS JOIN b),
+         | r AS (SELECT qid, nid, value, dist, row_number() OVER
+         |   (PARTITION BY qid ORDER BY d2, nid) AS rank FROM d)
+         |""".stripMargin.replace("\n", "")
+
+    Map(
+      "q_binning2d_simple" ->
+        """WITH src AS (SELECT
+          |  LEAST(GREATEST(CAST(round((CAST(l_partkey % 30 AS DOUBLE) + 0.2 - 0.0) / 1.0) AS INT), 0), 29) AS ix,
+          |  LEAST(GREATEST(CAST(round((CAST(l_suppkey % 30 AS DOUBLE) + 0.2 - 0.0) / 1.0) AS INT), 0), 29) AS iy,
+          |  l_quantity AS z FROM lineitem WHERE NOT isnan(l_quantity))
+          |SELECT ix, iy, COUNT(*) AS cnt, SUM(z) AS sum_z,
+          |  SUM(z)/COUNT(*) AS mean_z, MIN(z) AS min_z, MAX(z) AS max_z
+          |FROM src GROUP BY ix, iy""".stripMargin.replace("\n", " "),
+
+      "q_binning1d_weighted" ->
+        """WITH src AS (SELECT
+          |  LEAST(GREATEST(CAST(round(CAST(l_partkey % 20 AS DOUBLE) + 0.2) AS INT), 0), 19) AS ix,
+          |  l_quantity AS z, CAST(l_suppkey % 5 + 1 AS DOUBLE) AS w
+          |  FROM lineitem
+          |  WHERE CAST(l_partkey % 20 AS DOUBLE) + 0.2 BETWEEN 0.0 AND 15.0)
+          |SELECT ix, COUNT(*) AS cnt, SUM(w) AS sum_w, SUM(w*z) AS sum_wz,
+          |  SUM(w*z)/SUM(w) AS wmean
+          |FROM src GROUP BY ix""".stripMargin.replace("\n", " "),
+
+      "q_stats_moments" ->
+        """WITH m AS (SELECT l_returnflag AS flag, COUNT(*) AS cnt,
+          |  SUM(l_quantity) AS sum_z, MIN(l_quantity) AS min_z,
+          |  MAX(l_quantity) AS max_z, AVG(l_quantity) AS mu
+          |  FROM lineitem GROUP BY l_returnflag),
+          | c AS (SELECT l.l_returnflag AS flag,
+          |   SUM(POW(l.l_quantity - m.mu, 2)) AS m2,
+          |   SUM(POW(l.l_quantity - m.mu, 3)) AS m3,
+          |   SUM(POW(l.l_quantity - m.mu, 4)) AS m4
+          |  FROM lineitem l JOIN m ON l.l_returnflag = m.flag
+          |  GROUP BY l.l_returnflag)
+          |SELECT m.flag, m.cnt, m.sum_z, m.min_z, m.max_z,
+          |  round(m.sum_z / m.cnt, 9) + 0.0 AS mean_z,
+          |  round(c.m2 / m.cnt, 4) + 0.0 AS var_z,
+          |  round(sqrt(CAST(m.cnt AS DOUBLE)) * c.m3 / POW(c.m2, 1.5), 4) + 0.0 AS skew_z,
+          |  round(CAST(m.cnt AS DOUBLE) * c.m4 / (c.m2 * c.m2) - 3.0, 4) + 0.0 AS kurt_z
+          |FROM m JOIN c ON m.flag = c.flag""".stripMargin.replace("\n", " "),
+
+      "q_histogram2d" ->
+        """SELECT CAST(l_partkey % 8 AS INT) AS ix,
+          | CAST(l_suppkey % 8 AS INT) AS iy, COUNT(*) AS cnt,
+          | MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v
+          |FROM lineitem GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+      "q_geohash_encode" ->
+        s"""SELECT event_id, ${geohashSql(lonSql.format("user_id"),
+          latSql.format("user_id"), 40)} AS cell FROM events"""
+          .replace("\n", " "),
+
+      "q_geohash_coarsen" ->
+        s"""WITH c AS (SELECT ${geohashSql(lonSql.format("user_id"),
+          latSql.format("user_id"), 40)} AS cell FROM events)
+           |SELECT cell // 1048576 AS cell20, COUNT(*) AS cnt
+           |FROM c GROUP BY cell20""".stripMargin.replace("\n", " "),
+
+      "q_pip_join" -> {
+        val verts = pentagon.exterior
+        val conds = verts.indices.map { i =>
+          val (x1, y1) = verts(i)
+          val (x2, y2) = verts((i + 1) % verts.length)
+          s"(($x2 - $x1) * (y - $y1) - (x - $x1) * ($y2 - $y1)) > 0"
+        }.mkString(" AND ")
+        s"""WITH pts AS (SELECT c_custkey,
+           | CAST(c_custkey % 100 AS DOUBLE) / 10.0 AS x,
+           | CAST(c_custkey * 7 % 100 AS DOUBLE) / 10.0 AS y
+           | FROM customer)
+           |SELECT c_custkey, 1 AS poly_id FROM pts WHERE $conds"""
+          .stripMargin.replace("\n", " ")
+      },
+
+      "q_knn_join" ->
+        (knnRanked + "SELECT qid, nid, rank FROM r WHERE rank <= 4")
+          .replace("\n", " "),
+
+      "q_knn_idw" ->
+        (knnRanked +
+          """ , k AS (SELECT * FROM r WHERE rank <= 4)
+            |SELECT qid,
+            | round(CASE WHEN MIN(dist) < 1e-6
+            |   THEN MIN(CASE WHEN dist < 1e-6 THEN value END)
+            |   ELSE SUM(value / (dist*dist)) / SUM(1.0 / (dist*dist)) END, 6)
+            |   AS idw,
+            | CAST(COUNT(*) AS INT) AS neighbors
+            |FROM k GROUP BY qid""".stripMargin).replace("\n", " "),
+
+      "q_knn_window_boxcar" ->
+        (knnRanked +
+          """ , k AS (SELECT * FROM r WHERE rank <= 4)
+            |SELECT qid, round(SUM(value)/COUNT(*), 6) AS wval,
+            | CAST(COUNT(*) AS INT) AS neighbors
+            |FROM k GROUP BY qid""".stripMargin).replace("\n", " "),
+
+      "q_distance_join" ->
+        s"""WITH b AS ($knnBuild), q AS ($knnProbe)
+           |SELECT q.qid, b.id AS nid FROM q CROSS JOIN b
+           |WHERE (q.x-b.x)*(q.x-b.x)+(q.y-b.y)*(q.y-b.y) <= 4.0"""
+          .stripMargin.replace("\n", " "),
+
+      "q_bilinear_grid" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 400 AS DOUBLE) / 10.0 AS x,
+          |  CAST(o_orderkey * 3 % 400 AS DOUBLE) / 10.0 AS y
+          |  FROM orders),
+          | q AS (SELECT o_orderkey, x, y,
+          |  LEAST(CAST(floor(x) AS INT), 39) AS i0,
+          |  LEAST(CAST(floor(y) AS INT), 39) AS j0 FROM p)
+          |SELECT o_orderkey,
+          |  (1.0 - (x - i0)) * ((1.0 - (y - j0)) * CAST((i0*31 + j0*17) % 97 AS DOUBLE)
+          |     + (y - j0) * CAST((i0*31 + (j0+1)*17) % 97 AS DOUBLE))
+          |  + (x - i0) * ((1.0 - (y - j0)) * CAST(((i0+1)*31 + j0*17) % 97 AS DOUBLE)
+          |     + (y - j0) * CAST(((i0+1)*31 + (j0+1)*17) % 97 AS DOUBLE)) AS interp
+          |FROM q""".stripMargin.replace("\n", " "),
+
+      "q_temporal_fields" ->
+        """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+          | CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+          | COUNT(*) AS cnt
+          |FROM events GROUP BY 1, 2, 3, 4""".stripMargin.replace("\n", " "),
+
+      "q_period_merge" ->
+        """WITH e AS (SELECT user_id, ts, ts + INTERVAL 10 MINUTE AS te
+          |  FROM events),
+          | m AS (SELECT user_id, ts, te,
+          |   MAX(te) OVER (PARTITION BY user_id ORDER BY ts
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          |  FROM e),
+          | g AS (SELECT user_id, ts, te,
+          |   CASE WHEN prev_max IS NULL OR ts > prev_max THEN 1 ELSE 0 END
+          |     AS new_grp FROM m),
+          | s AS (SELECT user_id, ts, te,
+          |   SUM(new_grp) OVER (PARTITION BY user_id ORDER BY ts
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          |  FROM g)
+          |SELECT user_id, MIN(ts) AS p_start, MAX(te) AS p_end,
+          | COUNT(*) AS n_events
+          |FROM s GROUP BY user_id, grp""".stripMargin.replace("\n", " "),
+
+      "q_track_decompose" ->
+        """WITH e AS (SELECT user_id, ts,
+          |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          |  FROM events),
+          | b AS (SELECT user_id, ts,
+          |   CASE WHEN prev_ts IS NULL
+          |     OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS brk
+          |  FROM e),
+          | s AS (SELECT user_id, ts,
+          |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+          |  FROM b)
+          |SELECT user_id, segment, COUNT(*) AS n, MIN(ts) AS seg_start
+          |FROM s GROUP BY user_id, segment""".stripMargin.replace("\n", " "),
+
+      "q_fill_1d" ->
+        """WITH base AS (SELECT event_id, user_id, ts,
+          |  CASE WHEN event_type <> 'error' THEN value END AS z,
+          |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          |  FROM events),
+          | f AS (SELECT event_id, z, rn,
+          |  last_value(z IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+          |  last_value(CASE WHEN z IS NOT NULL THEN rn END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pr,
+          |  first_value(z IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+          |  first_value(CASE WHEN z IS NOT NULL THEN rn END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts
+          |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nr
+          |  FROM base)
+          |SELECT event_id, round(CASE WHEN z IS NOT NULL THEN z
+          |  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          |    pv + CAST(rn - pr AS DOUBLE) * (nv - pv) / CAST(nr - pr AS DOUBLE)
+          |  ELSE NULL END, 6) AS filled
+          |FROM f""".stripMargin.replace("\n", " "),
+
+      "q_hourly_binning" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type,
+          | COUNT(*) AS cnt, round(SUM(value), 6) AS sum_v
+          |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+      "q_dedup_exact" ->
+        """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          | COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+          |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
+
+      "q_token_stats" ->
+        """SELECT lang, COUNT(*) AS n_docs,
+          | SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+          | SUM(n_chars) AS sum_chars
+          |FROM documents GROUP BY lang""".stripMargin.replace("\n", " "),
+
+      "q_lang_id" -> {
+        def hits(markers: Seq[String]): String =
+          markers.map(m =>
+            s"(CASE WHEN position(' $m ' IN t) > 0 THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+        val en = hits(Seq("the", "and", "of", "to", "is", "in", "that", "it"))
+        val fr = hits(Seq("le", "la", "les", "de", "et", "un", "une", "est"))
+        val de = hits(Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
+        val es = hits(Seq("el", "la", "los", "de", "y", "es", "que", "un"))
+        s"""WITH d AS (SELECT lang, ' ' || lower(text) || ' ' AS t
+           |  FROM documents),
+           | sc AS (SELECT lang, ($en) AS en, ($fr) AS fr, ($de) AS de,
+           |   ($es) AS es FROM d),
+           | p AS (SELECT lang, CASE
+           |   WHEN GREATEST(en, fr, de, es) = 0 THEN 'unk'
+           |   WHEN en = GREATEST(en, fr, de, es) THEN 'en'
+           |   WHEN fr = GREATEST(en, fr, de, es) THEN 'fr'
+           |   WHEN de = GREATEST(en, fr, de, es) THEN 'de'
+           |   ELSE 'es' END AS pred FROM sc)
+           |SELECT lang, pred, COUNT(*) AS cnt FROM p GROUP BY lang, pred"""
+          .stripMargin.replace("\n", " ")
+      },
+
+      "q_ngram_jaccard" ->
+        """WITH toks AS (SELECT doc_id,
+          |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+          |  FROM documents WHERE doc_id < 40),
+          | sh AS (SELECT doc_id,
+          |  list_distinct([array_to_string(tk[i:i+2], ' ')
+          |    FOR i IN range(1, len(tk) - 1)]) AS s
+          |  FROM toks),
+          | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          |     len(list_distinct(list_concat(a.s, b.s))) AS jac
+          |  FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(jac, 9) AS jac FROM pairs
+          |WHERE jac >= 0.05""".stripMargin.replace("\n", " "),
+
+      "q_topk_cosine" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          |  FROM embeddings),
+          | q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+          | d AS (SELECT q.qid, e.vec_id AS id,
+          |   list_dot_product(q.qe, e.emb) /
+          |    (sqrt(list_dot_product(q.qe, q.qe)) *
+          |     sqrt(list_dot_product(e.emb, e.emb))) AS cos
+          |  FROM q CROSS JOIN e),
+          | r AS (SELECT qid, id, row_number() OVER
+          |   (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
+          |SELECT qid, id, rank FROM r WHERE rank <= 5"""
+          .stripMargin.replace("\n", " ")
+    ) ++ Map(
+      "q_lla_to_ecef" -> {
+        // mirror Geodesy.llaToEcef: n = a/sqrt(1-e2 sin^2), chord to (a,0,0)
+        val e2 = "0.0066943799901413165" // F*(2-F) as the JVM computes it
+        val a = "6378137.0"
+        def ecef(lon: String, lat: String): (String, String, String) = {
+          val sinLon = s"sin(($lon) * (pi() / 180.0))"
+          val cosLon = s"cos(($lon) * (pi() / 180.0))"
+          val sinLat = s"sin(($lat) * (pi() / 180.0))"
+          val cosLat = s"cos(($lat) * (pi() / 180.0))"
+          val n = s"($a / sqrt(1.0 - $e2 * $sinLat * $sinLat))"
+          (s"(($n + 0.0) * $cosLat * $cosLon)",
+           s"(($n + 0.0) * $cosLat * $sinLon)",
+           s"(($n * (1.0 - $e2) + 0.0) * $sinLat)")
+        }
+        val (x, y, z) = ecef(lonSql.format("user_id"),
+          latSql.format("user_id"))
+        s"""SELECT user_id, round(sqrt(($x - $a)*($x - $a) +
+           | ($y - 0.0)*($y - 0.0) + ($z - 0.0)*($z - 0.0)), 3)
+           | AS dist_to_origin
+           |FROM (SELECT DISTINCT user_id FROM events)"""
+          .stripMargin.replace("\n", " ")
+      },
+      "q_doc_quality" ->
+        """WITH q AS (SELECT doc_id,
+          |  CAST(length(text) AS DOUBLE) AS len,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
+          |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+          |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper
+          |  FROM documents)
+          |SELECT doc_id, round(
+          |  LEAST(len / 500.0, 1.0) * 0.4 +
+          |  LEAST(punct / GREATEST(words, 1.0) * 5.0, 1.0) * 0.2 +
+          |  (1.0 - LEAST(upper / GREATEST(len, 1.0) * 4.0, 1.0)) * 0.2 +
+          |  (CASE WHEN len / GREATEST(words, 1.0) BETWEEN 3.0 AND 10.0
+          |     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+          |FROM q""".stripMargin.replace("\n", " ")
+    )
+  }
 }

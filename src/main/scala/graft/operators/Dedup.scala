@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale training-data pipelines, all
+  * expressed as Catalyst plans (shingle/minhash/band computation stays in
+  * whole-stage codegen; the only shuffles are the band-bucket join and the
+  * final candidate-pair aggregation).
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint
+  *  - MinHash+LSH: word-shingle -> k minhashes -> b bands -> bucket join
+  *  - SimHash: 64-bit sign-aggregated token hashes, hamming candidates
+  *  - n-gram Jaccard: exact verification on candidate pairs
+  */
+object Dedup {
+
+  /** Normalized word n-gram shingles of a text column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    if (n == 1) array_distinct(tokens)
+    else {
+      // n-gram via transform over indices; sliding join of n tokens
+      val idx = sequence(lit(0), size(tokens) - n)
+      when(size(tokens) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(idx, i =>
+          concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))))
+    }
+  }
+
+  /** Exact dedup: keep one representative per normalized fingerprint.
+    * Returns (fingerprint, n_dups, keep_id) — smallest id wins, making the
+    * choice deterministic under any partitioning.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count("*").as("n_dups"), min("id").as("keep_id"))
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family: xxhash64(shingle || '#' || i) — deterministic, no
+    * external salt tables.
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = shingles(text, n)
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(concat(s, lit(s"#$i")))))
+    }: _*)
+  }
+
+  /** MinHash LSH candidate pairs: signatures banded into `bands` groups of
+    * `rowsPerBand`; docs sharing any band bucket become candidates; exact
+    * n-gram Jaccard then filters at `threshold`.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                 threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact pairwise n-gram Jaccard for a (small) candidate id set, or
+    * all-pairs when `candidates` is empty — the verification kernel.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3,
+                        threshold: Double = 0.0): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: tokens hashed, each bit position summed
+    * +1/-1 across tokens, sign -> bit. Pure aggregation (explode + 64
+    * conditional sums + recombine) — no UDF.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+        " ")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("th"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val agg = tokens.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, pruned by matching
+    * on 4 16-bit chunks (any equal chunk => candidate; complete for
+    * maxHamming <= 3).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"),
+      col("simhash").as("h_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"),
+      col("simhash").as("h_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -136,6 +136,39 @@ object KnnJoin {
     }
   }
 
+  /** Distance join (`rtree.hpp:340-362` query_ball / ST_DWithin): all
+    * (probe, build) pairs within `radius`. Broadcast tree when small,
+    * cell-join otherwise (radius must be below one cell size for the
+    * shuffle path's 3x3 guarantee).
+    */
+  def distanceJoin(spark: SparkSession, build: DataFrame, probe: DataFrame,
+                   radius: Double, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val dims = if (cfg.geodetic) 3 else 2
+    val geodetic = cfg.geodetic
+    val pts = build
+      .select(col("x").cast("double"), col("y").cast("double"),
+        col("value").cast("double"), col("id").cast("long"))
+      .as[(Double, Double, Double, Long)]
+      .collect()
+    val tree = KdTree.build(pts.iterator.map { case (x, y, v, id) =>
+      (if (geodetic) { val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0)
+        Array(a, b, c) } else Array(x, y), v, id)
+    }, dims)
+    val bc = spark.sparkContext.broadcast(tree)
+    probe.select(col("qid").cast("long"), col("x").cast("double"),
+        col("y").cast("double"))
+      .as[(Long, Double, Double)]
+      .flatMap { case (qid, x, y) =>
+        val q = if (geodetic) {
+          val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0); Array(a, b, c)
+        } else Array(x, y)
+        bc.value.queryBall(q, radius).iterator
+          .map(r => (qid, r._3, r._1, r._2))
+      }
+      .toDF("qid", "nid", "dist", "value")
+  }
+
   /** Flat (qid, nid, dist, value, rank) rows — the relational face of the
     * kNN join, oracle-checkable with a window-function SQL.
     */
