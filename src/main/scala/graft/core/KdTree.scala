@@ -54,28 +54,35 @@ final class KdTree(dims: Int, coords: Array[Double], payload: Array[Double],
   }
 
   /** k nearest neighbors of `q` within `radius` (euclidean), results as
-    * (distance, value, id) sorted ascending by distance then id.
+    * (distance, value, id) sorted ascending by distance then id. Ties at
+    * the k-boundary resolve to the smallest ids — deterministic under any
+    * build/partitioning order (matches a `row_number() OVER (ORDER BY
+    * dist, id)` relational ranking).
     */
   def query(q: Array[Double], k: Int,
             radius: Double = Double.PositiveInfinity)
       : Array[(Double, Double, Long)] = {
-    // bounded max-heap over squared distance
+    // bounded max-heap over (squared distance, id) lexicographic
     val heapD = new Array[Double](k)
     val heapI = new Array[Int](k)
     var heapSize = 0
+
+    @inline def gt(d2a: Double, ia: Int, d2b: Double, ib: Int): Boolean =
+      d2a > d2b || (d2a == d2b && ids(ia) > ids(ib))
 
     def heapPush(d2: Double, i: Int): Unit = {
       if (heapSize < k) {
         heapD(heapSize) = d2; heapI(heapSize) = i
         var c = heapSize
         heapSize += 1
-        while (c > 0 && heapD((c - 1) / 2) < heapD(c)) {
+        while (c > 0 && gt(heapD(c), heapI(c), heapD((c - 1) / 2),
+            heapI((c - 1) / 2))) {
           val p = (c - 1) / 2
           val td = heapD(p); heapD(p) = heapD(c); heapD(c) = td
           val ti = heapI(p); heapI(p) = heapI(c); heapI(c) = ti
           c = p
         }
-      } else if (d2 < heapD(0)) {
+      } else if (gt(heapD(0), heapI(0), d2, i)) {
         heapD(0) = d2; heapI(0) = i
         var p = 0
         var cont = true
@@ -83,8 +90,8 @@ final class KdTree(dims: Int, coords: Array[Double], payload: Array[Double],
           val l = 2 * p + 1
           val r = l + 1
           var m = p
-          if (l < k && heapD(l) > heapD(m)) m = l
-          if (r < k && heapD(r) > heapD(m)) m = r
+          if (l < k && gt(heapD(l), heapI(l), heapD(m), heapI(m))) m = l
+          if (r < k && gt(heapD(r), heapI(r), heapD(m), heapI(m))) m = r
           if (m == p) cont = false
           else {
             val td = heapD(p); heapD(p) = heapD(m); heapD(m) = td
@@ -114,7 +121,8 @@ final class KdTree(dims: Int, coords: Array[Double], payload: Array[Double],
       val (near0, near1, far0, far1) =
         if (diff < 0) (lo, mid, mid + 1, hi) else (mid + 1, hi, lo, mid)
       visit(near0, near1, depth + 1)
-      if (diff * diff < worst) visit(far0, far1, depth + 1)
+      // <= so equal-distance points (id tie-break) are still reachable
+      if (diff * diff <= worst) visit(far0, far1, depth + 1)
     }
 
     visit(0, n, 0)
