@@ -11,6 +11,11 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object ImageCodec {
 
+  // ImageIO defaults to a disk-backed, lock-guarded stream cache; with 32
+  // concurrent decode tasks that serializes on temp-file I/O. Memory
+  // streams keep the decode path lock-free and CPU-bound.
+  ImageIO.setUseCache(false)
+
   /** Encode a row-major float field in [0,1] as grayscale w x h. */
   def encode(pixels: Array[Float], w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)

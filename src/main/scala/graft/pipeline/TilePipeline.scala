@@ -66,8 +66,14 @@ object TilePipeline {
       }
       c += 1
     }
-    val grid = Grid2D(xAxis, yAxis, values)
-    val kernel = new BivariateKernel(grid, method, 3, Boundary.Shrink)
+    // whole-image derivative precompute, allocation-free per-pixel eval:
+    // amortizes the bicubic spline solve over every tile pixel the image
+    // footprint covers (the reference's per-thread window cache analog,
+    // specialized to the raster case)
+    val dense = new graft.core.DenseBicubic(xAxis.values, yAxis.values, values)
+    val useBicubic = method == "bicubic"
+    val kernel: (Double, Double) => Double =
+      if (useBicubic) dense.apply else dense.bilinear
     val cells = GeoHash.coverBox(row.lon, row.lat,
       row.lon + ImageTableGen.FootprintDeg,
       row.lat + ImageTableGen.FootprintDeg, precision)
