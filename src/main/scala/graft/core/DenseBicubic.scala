@@ -23,26 +23,23 @@ final class DenseBicubic(xs: Array[Double], ys: Array[Double],
   private val zxy = new Array[Double](nx * ny)
 
   locally {
+    val wsX = new Interpolate.SplineWorkspace(nx)
+    val wsY = new Interpolate.SplineWorkspace(ny)
     val colBuf = new Array[Double](nx)
-    // d/dx along each y-column
+    // d/dx along each y-column (strided write straight into zx)
     var j = 0
     while (j < ny) {
       var i = 0
       while (i < nx) { colBuf(i) = z(i * ny + j); i += 1 }
-      val d = Interpolate.csplineDerivative(xs, colBuf, xs)
-      i = 0
-      while (i < nx) { zx(i * ny + j) = d(i); i += 1 }
+      Interpolate.csplineDerivativeAtNodesInto(xs, colBuf, wsX, zx, ny, j)
       j += 1
     }
-    // d/dy along each x-row
+    // d/dy along each x-row (rows are contiguous in x-major layout)
     val rowBuf = new Array[Double](ny)
     var i = 0
     while (i < nx) {
-      var jj = 0
-      while (jj < ny) { rowBuf(jj) = z(i * ny + jj); jj += 1 }
-      val d = Interpolate.csplineDerivative(ys, rowBuf, ys)
-      jj = 0
-      while (jj < ny) { zy(i * ny + jj) = d(jj); jj += 1 }
+      System.arraycopy(z, i * ny, rowBuf, 0, ny)
+      Interpolate.csplineDerivativeAtNodesInto(ys, rowBuf, wsY, zy, 1, i * ny)
       i += 1
     }
     // d2/dxdy of the zy matrix along x
@@ -50,9 +47,7 @@ final class DenseBicubic(xs: Array[Double], ys: Array[Double],
     while (j < ny) {
       var ii = 0
       while (ii < nx) { colBuf(ii) = zy(ii * ny + j); ii += 1 }
-      val d = Interpolate.csplineDerivative(xs, colBuf, xs)
-      ii = 0
-      while (ii < nx) { zxy(ii * ny + j) = d(ii); ii += 1 }
+      Interpolate.csplineDerivativeAtNodesInto(xs, colBuf, wsX, zxy, ny, j)
       j += 1
     }
   }

@@ -106,6 +106,96 @@ object Interpolate {
     ya(i) + h * Math.fma(h, Math.fma(h, d, cc(i)), b)
   }
 
+  /** Reusable scratch buffers for repeated spline solves on same-length
+    * axes (per-image derivative matrices do ~3n solves; reusing the
+    * workspace removes ~90% of the solver's allocation).
+    */
+  final class SplineWorkspace(n: Int) {
+    val c = new Array[Double](n)
+    val m = math.max(1, n - 2)
+    val diag = new Array[Double](m)
+    val sup = new Array[Double](m)
+    val sub = new Array[Double](m)
+    val rhs = new Array[Double](m)
+    val cp = new Array[Double](m)
+    val dp = new Array[Double](m)
+  }
+
+  /** In-place natural-spline coefficient solve into ws.c (same math as
+    * [[csplineCoefficients]]).
+    */
+  def csplineCoefficientsInto(xa: Array[Double], ya: Array[Double],
+                              ws: SplineWorkspace): Unit = {
+    val n = xa.length
+    java.util.Arrays.fill(ws.c, 0.0)
+    if (n < 3) return
+    val m = n - 2
+    var i = 0
+    while (i < m) {
+      val h0 = xa(i + 1) - xa(i)
+      val h1 = xa(i + 2) - xa(i + 1)
+      val y0 = ya(i + 1) - ya(i)
+      val y1 = ya(i + 2) - ya(i + 1)
+      val g0 = if (h0 != 0.0) 1.0 / h0 else 0.0
+      val g1 = if (h1 != 0.0) 1.0 / h1 else 0.0
+      ws.sub(i) = h0
+      ws.diag(i) = 2.0 * (h0 + h1)
+      ws.sup(i) = h1
+      ws.rhs(i) = 3.0 * Math.fma(y1, g1, -y0 * g0)
+      i += 1
+    }
+    var inv = 1.0 / ws.diag(0)
+    ws.cp(0) = ws.sup(0) * inv
+    ws.dp(0) = ws.rhs(0) * inv
+    i = 1
+    while (i < m) {
+      val mlt = ws.sub(i)
+      val invM = 1.0 / (ws.diag(i) - mlt * ws.cp(i - 1))
+      ws.cp(i) = ws.sup(i) * invM
+      ws.dp(i) = Math.fma(-mlt, ws.dp(i - 1), ws.rhs(i)) * invM
+      i += 1
+    }
+    ws.c(m) = ws.dp(m - 1)
+    i = m - 1
+    while (i >= 1) {
+      ws.c(i) = Math.fma(-ws.cp(i - 1), ws.c(i + 1), ws.dp(i - 1))
+      i -= 1
+    }
+  }
+
+  /** Derivative at every node of the fitted spline, written into `out`,
+    * using a caller-provided workspace (allocation-free hot path for the
+    * dense bicubic precompute).
+    */
+  def csplineDerivativeAtNodesInto(xa: Array[Double], ya: Array[Double],
+                                   ws: SplineWorkspace,
+                                   out: Array[Double], stride: Int,
+                                   offset: Int): Unit = {
+    val n = xa.length
+    if (n < 4) {
+      var k = 0
+      while (k < n) {
+        val i = math.min(math.max(k, 0), n - 2)
+        out(offset + k * stride) = (ya(i + 1) - ya(i)) / (xa(i + 1) - xa(i))
+        k += 1
+      }
+      return
+    }
+    csplineCoefficientsInto(xa, ya, ws)
+    val cc = ws.c
+    var k = 0
+    while (k < n) {
+      val i = if (k == n - 1) n - 2 else k
+      val dx = xa(i + 1) - xa(i)
+      val dy = ya(i + 1) - ya(i)
+      val h = xa(k) - xa(i)
+      val b = dy / dx - dx * (cc(i + 1) + 2.0 * cc(i)) / 3.0
+      val d = (cc(i + 1) - cc(i)) / (3.0 * dx)
+      out(offset + k * stride) = b + h * Math.fma(3.0 * h, d, 2.0 * cc(i))
+      k += 1
+    }
+  }
+
   /** Derivative of the natural cubic spline at each of `xs`
     * (`cspline_base.hpp:117-147`) — the building block of the bicubic
     * partial-derivative matrices.

@@ -16,25 +16,35 @@ object ImageCodec {
   // streams keep the decode path lock-free and CPU-bound.
   ImageIO.setUseCache(false)
 
-  /** Encode a row-major float field in [0,1] as grayscale w x h. */
+  /** Encode a row-major float field in [0,1] as grayscale w x h. PNG uses
+    * the in-repo [[FastPng]] writer (standard output, lock-free); JPEG
+    * uses ImageIO.
+    */
   def encode(pixels: Array[Float], w: Int, h: Int, fmt: String): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = pixels(y * w + x)
-        val b = math.max(0, math.min(255, math.round(v * 255f)))
-        raster.setSample(x, y, 0, b)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
     fmt match {
-      case "png" => ImageIO.write(img, "png", bos)
+      case "png" =>
+        val bytes = new Array[Byte](w * h)
+        var i = 0
+        while (i < bytes.length) {
+          bytes(i) = math.max(0,
+            math.min(255, math.round(pixels(i) * 255f))).toByte
+          i += 1
+        }
+        FastPng.encodeGray8(bytes, w, h)
       case "jpeg" =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b = math.max(0, math.min(255, math.round(pixels(y * w + x) * 255f)))
+            raster.setSample(x, y, 0, b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
         val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
         val params = writer.getDefaultWriteParam
         params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
@@ -44,13 +54,26 @@ object ImageCodec {
         writer.write(null, new IIOImage(img, null, null), params)
         writer.dispose()
         ios.close()
+        bos.toByteArray
       case other => throw new IllegalArgumentException(s"fmt $other")
     }
-    bos.toByteArray
   }
 
-  /** Decode back to floats in [0,1], row-major. */
+  /** Decode back to floats in [0,1], row-major. Fast path for our own
+    * grayscale PNGs; ImageIO for everything else (JPEG, foreign PNGs).
+    */
   def decode(bytes: Array[Byte]): (Array[Float], Int, Int) = {
+    val fast = FastPng.decodeGray8(bytes)
+    if (fast != null) {
+      val (gray, w, h) = fast
+      val out = new Array[Float](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (gray(i) & 0xFF) / 255f
+        i += 1
+      }
+      return (out, w, h)
+    }
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     val w = img.getWidth
     val h = img.getHeight

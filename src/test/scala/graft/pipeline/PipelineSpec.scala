@@ -147,3 +147,30 @@ class TilePipelineSpec extends AnyFunSuite {
     assert(df2.count() == n1)
   }
 }
+
+class FastPngInteropSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("FastPng output is a standard PNG readable by ImageIO") {
+    val rng = new scala.util.Random(3)
+    val px = Array.fill(32 * 32)((rng.nextInt(256)).toByte)
+    val bytes = FastPng.encodeGray8(px, 32, 32)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 32 && img.getHeight == 32)
+    for (i <- 0 until 1024)
+      assert(img.getRaster.getSample(i % 32, i / 32, 0) == (px(i) & 0xFF))
+  }
+
+  test("FastPng decodes ImageIO-written grayscale PNGs (filters)") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dec = FastPng.decodeGray8(bos.toByteArray)
+    assert(dec != null)
+    val (gray, w, h) = dec
+    assert(w == 16 && h == 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((gray(y * 16 + x) & 0xFF) == (x * 16 + y) % 256)
+  }
+}
