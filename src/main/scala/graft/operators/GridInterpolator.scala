@@ -156,7 +156,36 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
     case "bilinear" | "idw" | "nearest" => geometric(x, y)
     case "bicubic" => windowedBicubic(x, y)
     case "spline_bilinear" => windowedSplineLinear(x, y)
+    // windowed separable univariate methods
+    // (`regular_grid_interpolator.py:49-63` windowed set)
+    case "akima" | "akima_periodic" | "c_spline" | "c_spline_not_a_knot" |
+         "c_spline_periodic" | "linear" | "polynomial" | "steffen" =>
+      windowedSeparable(x, y)
     case other => throw new IllegalArgumentException(s"method $other")
+  }
+
+  @transient private lazy val uniX = graft.core.Univariate1D(method)
+  @transient private lazy val uniY = graft.core.Univariate1D(method)
+
+  /** Separable application of a univariate method: fit along x for each
+    * window row, then along y (`math/interpolate/bivariate/spline.hpp`
+    * structure generalized to every univariate kernel).
+    */
+  private def windowedSeparable(x: Double, y: Double): Double = {
+    if (!loadWindow(x, y)) return Double.NaN
+    val xq = queryX(x)
+    val tmp = new Array[Double](cachedYs.length)
+    var j = 0
+    while (j < cachedYs.length) {
+      val colv = new Array[Double](cachedXs.length)
+      var i = 0
+      while (i < cachedXs.length) { colv(i) = cachedZ(i)(j); i += 1 }
+      if (!uniX.fit(cachedXs, colv)) return Double.NaN
+      tmp(j) = uniX.value(xq)
+      j += 1
+    }
+    if (!uniY.fit(cachedYs, tmp)) return Double.NaN
+    uniY.value(y)
   }
 
   private def geometric(x: Double, y: Double): Double = {
