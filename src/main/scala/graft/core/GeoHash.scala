@@ -180,4 +180,41 @@ object GeoHash {
     require(toPrecision <= fromPrecision)
     hash >>> (fromPrecision - toPrecision)
   }
+
+  /** Standard geohash base32 alphabet (2.5 bits/char;
+    * `cxx/tests/geohash/base32.cpp:41`).
+    */
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  private val Base32Inv: Array[Int] = {
+    val inv = Array.fill(128)(-1)
+    Base32.zipWithIndex.foreach { case (c, i) => inv(c) = i }
+    inv
+  }
+
+  /** Char-precision geohash string of a point (`geohash/string.hpp`
+    * behavior: integer encode at 5*chars bits, 5-bit groups MSB-first).
+    */
+  def toString(lon: Double, lat: Double, chars: Int): String = {
+    val h = encode(lon, lat, chars * 5)
+    val sb = new java.lang.StringBuilder(chars)
+    var i = chars - 1
+    while (i >= 0) {
+      sb.append(Base32.charAt(((h >>> (i * 5)) & 31).toInt))
+      i -= 1
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[toString]]: string -> (hash, precisionBits). */
+  def fromString(s: String): (Long, Int) = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val v = Base32Inv(s.charAt(i))
+      require(v >= 0, s"invalid geohash char ${s.charAt(i)}")
+      h = (h << 5) | v
+      i += 1
+    }
+    (h, s.length * 5)
+  }
 }

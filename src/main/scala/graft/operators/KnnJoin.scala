@@ -261,6 +261,43 @@ object KnnJoin {
     }.toDF("qid", "value", "neighbors")
   }
 
+  /** Universal/simple kriging over the k nearest neighbors
+    * (`geometry/rtree.hpp:450-471`; 2-D inputs padded z=0 like the
+    * reference). Output (qid, value, variance, neighbors).
+    */
+  def kriging(spark: SparkSession, build: DataFrame, probe: DataFrame,
+              cfg: Config, sigma: Double = 1.0, lambda: Double = 1.0,
+              nugget: Double = 0.0, covariance: String = "matern_32",
+              drift: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val model = new graft.core.Kriging(sigma, lambda, nugget, covariance,
+      drift)
+    neighborsWithCoords(spark, build, probe, cfg).map { case (qid, q, cs, vs) =>
+      val q3 = if (q.length == 3) q else Array(q(0), q(1), 0.0)
+      val cs3 = cs.map(c => if (c.length == 3) c else Array(c(0), c(1), 0.0))
+      val (v, variance) = model.solve(cs3, vs, q3)
+      (qid, v, variance, vs.length)
+    }.toDF("qid", "value", "variance", "neighbors")
+  }
+
+  /** Optimal interpolation (BLUE) over the k nearest neighbors
+    * (`pyinterp/optimal_interpolation.py:5-153`,
+    * `pybind/rtree4d.hpp`): returns value + formal error + count.
+    */
+  def optimalInterpolation(spark: SparkSession, build: DataFrame,
+      probe: DataFrame, cfg: Config, sigma2: Double,
+      lengthScales: Array[Double], obsSigma2: Double,
+      kernel: String = "gaussian"): DataFrame = {
+    import spark.implicits._
+    val model = new graft.core.OptimalInterpolation(sigma2, lengthScales,
+      kernel)
+    neighborsWithCoords(spark, build, probe, cfg).map { case (qid, q, cs, vs) =>
+      val (v, err, n) =
+        model.solve(cs, vs, Array.fill(vs.length)(obsSigma2), q)
+      (qid, v, err, n)
+    }.toDF("qid", "value", "error_variance", "neighbors")
+  }
+
   case class NbrWithCoords(qid: Long, q: Array[Double],
                            coords: Array[Array[Double]], values: Array[Double])
 

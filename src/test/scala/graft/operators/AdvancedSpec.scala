@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{Fill, GeoHash, Kriging, OptimalInterpolation}
+
+class KrigingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("simple kriging is exact at data points and smooth between") {
+    val coords = (for { i <- 0 to 4; j <- 0 to 4 }
+      yield Array(i.toDouble, j.toDouble, 0.0)).toArray
+    val values = coords.map(c => math.sin(c(0) * 0.5) + math.cos(c(1) * 0.5))
+    val model = new Kriging(1.0, 2.0, 0.0, "matern_32")
+    // exact at a node
+    val (v0, var0) = model.solve(coords, values, Array(2.0, 2.0, 0.0))
+    assert(math.abs(v0 - values(2 * 5 + 2)) < 1e-8)
+    assert(var0 < 1e-8)
+    // close to truth between nodes
+    val (v1, _) = model.solve(coords, values, Array(2.5, 2.5, 0.0))
+    val truth = math.sin(2.5 * 0.5) + math.cos(2.5 * 0.5)
+    assert(math.abs(v1 - truth) < 0.05, s"$v1 vs $truth")
+  }
+
+  test("universal kriging with linear drift reproduces linear fields") {
+    val coords = (for { i <- 0 to 4; j <- 0 to 4 }
+      yield Array(i.toDouble, j.toDouble, 0.0)).toArray
+    val values = coords.map(c => 2.0 + 3.0 * c(0) - c(1))
+    val model = new Kriging(1.0, 1.0, 0.0, "gaussian", Some("linear"))
+    val (v, _) = model.solve(coords, values, Array(1.7, 3.2, 0.0))
+    assert(math.abs(v - (2.0 + 3.0 * 1.7 - 3.2)) < 1e-6)
+  }
+
+  test("all covariance kernels are positive at 0 and decay") {
+    for (k <- Seq("matern_12", "matern_32", "matern_52", "cauchy",
+        "spherical", "gaussian", "wendland")) {
+      val m = new Kriging(2.0, 1.5, 0.0, k)
+      assert(math.abs(m.cov(0.0) - 4.0) < 1e-12, k)
+      assert(m.cov(0.25) > m.cov(1.0), k)
+      assert(m.cov(100.0) < 0.5, k)
+    }
+  }
+
+  test("kriging dataframe operator") {
+    val rows = for { i <- 0 to 4; j <- 0 to 4 }
+      yield (i.toDouble, j.toDouble, (i + j).toDouble, (i * 5 + j).toLong)
+    val build = rows.toDF("x", "y", "value", "id")
+    val probe = Seq((0L, 2.0, 2.0)).toDF("qid", "x", "y")
+    val out = KnnJoin.kriging(spark, build, probe,
+      KnnJoin.Config(k = 25, geodetic = false), sigma = 1.0, lambda = 2.0,
+      covariance = "matern_32", drift = Some("linear")).head
+    assert(math.abs(out.getDouble(1) - 4.0) < 1e-6)
+  }
+
+  test("optimal interpolation BLUE recovers values with error estimate") {
+    val coords = (for { i <- 0 to 4; j <- 0 to 4 }
+      yield Array(i.toDouble, j.toDouble)).toArray
+    val values = coords.map(c => c(0) * 0.5 + c(1) * 0.25)
+    val oi = new OptimalInterpolation(1.0, Array(2.0, 2.0))
+    val (v, err, n) = oi.solve(coords, values, Array.fill(25)(1e-6),
+      Array(2.0, 2.0))
+    assert(n == 25)
+    assert(math.abs(v - 1.5) < 0.01)
+    assert(err >= 0.0 && err < 0.1)
+  }
+}
+
+class FillSpec extends AnyFunSuite {
+  test("fill.vector interpolates interior NaN runs linearly") {
+    val ys = Array(1.0, Double.NaN, Double.NaN, 4.0, 5.0, Double.NaN)
+    val out = Fill.vector(ys)
+    assert(math.abs(out(1) - 2.0) < 1e-12)
+    assert(math.abs(out(2) - 3.0) < 1e-12)
+    assert(out(5).isNaN) // trailing NaN untouched
+  }
+
+  test("fill.matrixRows fills along rows") {
+    // 2x4 grid x-major: row 0 has a hole
+    val vals = Array(1.0, Double.NaN, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0)
+    val out = Fill.matrixRows(vals, 2, 4)
+    assert(math.abs(out(1) - 2.0) < 1e-12)
+    assert(out(5) == 20.0)
+  }
+
+  test("loess fills holes with tri-cube weighted neighborhood") {
+    val nx = 10
+    val ny = 10
+    def f(i: Int, j: Int) = 0.1 * i + 0.05 * j
+    val vals = Array.tabulate(nx * ny)(k => f(k / ny, k % ny))
+    vals(5 * ny + 5) = Double.NaN
+    val out = Fill.loess(vals, nx, ny, 3, 3, "undefined")
+    assert(!out(5 * ny + 5).isNaN)
+    assert(math.abs(out(5 * ny + 5) - f(5, 5)) < 0.05)
+    // defined values untouched in "undefined" mode
+    assert(out(2 * ny + 2) == f(2, 2))
+  }
+
+  test("gauss_seidel converges to harmonic fill") {
+    val n = 16
+    // boundary = linear field (harmonic), interior NaN -> must recover it
+    val vals = Array.tabulate(n * n) { k =>
+      val i = k / n
+      val j = k % n
+      if (i == 0 || j == 0 || i == n - 1 || j == n - 1) 1.0 * i + 2.0 * j
+      else Double.NaN
+    }
+    val (filled, iters, residual) = Fill.gaussSeidel(vals, n, n,
+      maxIterations = 2000, epsilon = 1e-10, relaxation = 1.5)
+    assert(residual < 1e-9, s"iters=$iters residual=$residual")
+    for (i <- 1 until n - 1; j <- 1 until n - 1)
+      assert(math.abs(filled(i * n + j) - (1.0 * i + 2.0 * j)) < 1e-6,
+        s"($i,$j): ${filled(i * n + j)}")
+  }
+}
+
+class CrossoverSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("two crossing diagonal tracks intersect at the center") {
+    val a = Array.tabulate(11)(i => (i.toDouble, i.toDouble))
+    val b = Array.tabulate(11)(i => (i.toDouble, 10.0 - i))
+    val found = Crossover.findLocal(a, b)
+    assert(found.length == 1)
+    val (x, y, ia, ib) = found(0)
+    assert(math.abs(x - 5.0) < 1e-12 && math.abs(y - 5.0) < 1e-12)
+    assert(ia == 5 && ib == 5)
+  }
+
+  test("parallel tracks do not intersect") {
+    val a = Array.tabulate(5)(i => (i.toDouble, 0.0))
+    val b = Array.tabulate(5)(i => (i.toDouble, 1.0))
+    assert(Crossover.findLocal(a, b).isEmpty)
+  }
+
+  test("dataframe crossover join") {
+    val a = (0 to 10).map(i => (i, i.toDouble, i.toDouble)).toDF("idx", "x", "y")
+    val b = (0 to 10).map(i => (i, i.toDouble, 10.0 - i)).toDF("idx", "x", "y")
+    val out = Crossover.join(spark, a, b).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(0) == 5.0)
+  }
+}
+
+class GeohashStringSpec extends AnyFunSuite {
+  test("base32 string round trip and known prefix nesting") {
+    val (lon, lat) = (-5.6, 42.6)
+    val s = GeoHash.toString(lon, lat, 8)
+    assert(s.length == 8)
+    val (h, bits) = GeoHash.fromString(s)
+    assert(bits == 40)
+    val (x0, y0, x1, y1) = GeoHash.boundingBox(h, bits)
+    assert(lon >= x0 && lon < x1 && lat >= y0 && lat < y1)
+    // prefix property: shorter string = coarser containing cell
+    assert(GeoHash.toString(lon, lat, 4) == s.take(4))
+  }
+
+  test("known geohash value (paris ~ u09t)") {
+    // published geohash of (2.35, 48.85) starts with u09
+    assert(GeoHash.toString(2.35, 48.85, 4).startsWith("u09"))
+  }
+}
+
+class StreamingBinningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming windowed stats equal batch result (memory sink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = graft.streaming.StreamingBinning.windowedStats(
+      stream, "ts", col("event_type"), col("value"),
+      windowLength = "6 hours", lateness = "1 minute")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT window_start, cell, count, sum FROM stream_out")
+      .collect()
+      .map(r => ((r.get(0).toString, r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // batch reference (same TIMESTAMP cast as the streaming operator)
+    val batch = spark.read.parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("s"))
+      .collect()
+      .map(r => ((r.get(0).toString, r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == batch.keySet)
+    batch.foreach { case (k, (c, s)) =>
+      assert(got(k)._1 == c)
+      assert(math.abs(got(k)._2 - s) < 1e-9)
+    }
+  }
+}
+
+class ImageOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def imagesDf() = {
+    import spark.implicits._
+    graft.pipeline.ImageTableGen.generate(spark, 10, 16).toDF()
+  }
+
+  test("decode appends pixel arrays with matching dims") {
+    val out = ImageOps.decode(imagesDf()).select("dec_w", "dec_h", "pixels")
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == 16 && r.getInt(1) == 16)
+      assert(r.getSeq[Float](2).length == 256)
+    }
+  }
+
+  test("resize preserves smooth content") {
+    val out = ImageOps.resize(imagesDf(), 8, 8).select("image_id", "resized")
+      .collect()
+    out.foreach { r =>
+      val resized = r.getSeq[Float](1)
+      assert(resized.length == 64)
+      assert(resized.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
+  test("features include valid stats and stable ahash") {
+    val df = imagesDf()
+    val a = ImageOps.features(df).select("image_id", "px_mean", "ahash")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2))))
+      .toMap
+    val b = ImageOps.features(df).select("image_id", "px_mean", "ahash")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(a == b) // deterministic
+    a.values.foreach { case (mean, _) => assert(mean > 0.0 && mean < 1.0) }
+  }
+}
