@@ -412,6 +412,148 @@ object SparkEntry {
         threshold = 0.9, planes = 4)
     }),
 
+    // ======== crossover / tracks (§2.3, §2.8) ========
+    "q_crossover" -> ((s, dir) => {
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val trackA = supp.select(col("s_suppkey").as("idx"),
+        col("s_suppkey").cast("double").as("x"),
+        ((col("s_suppkey") * 7 % 100).cast("double") / 10.0).as("y"))
+      val trackB = supp.select(col("s_suppkey").as("idx"),
+        col("s_suppkey").cast("double").as("x"),
+        (lit(10.0) - (col("s_suppkey") * 3 % 100).cast("double") / 10.0).as("y"))
+      Crossover.join(s, trackA, trackB)
+        .select(round(col("x"), 9).as("x"), round(col("y"), 9).as("y"),
+          col("idx_a"), col("idx_b"))
+    }),
+
+    // ======== geodetic kNN (ECEF metric, §2.3) ========
+    "q_knn_geodetic" -> ((s, dir) => {
+      val cust = s.read.parquet(t(dir, "customer"))
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = cust.select(
+        lonOf(col("c_custkey")).as("x"), latOf(col("c_custkey")).as("y"),
+        (col("c_custkey") % 97).cast("double").as("value"),
+        col("c_custkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        (lonOf(col("s_suppkey")) + 0.005).as("x"),
+        (latOf(col("s_suppkey")) + 0.005).as("y"))
+      KnnJoin.knnJoinFlat(s, build, probe,
+          KnnJoin.Config(k = 4, geodetic = true))
+        .select(col("qid"), col("nid"), col("rank"))
+    }),
+
+    // ======== geohash base32 strings (§2.7) ========
+    "q_geohash_string" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      import s.implicits._
+      ev.select(col("event_id"), col("user_id")).as[(Long, Long)]
+        .map { case (eid, uid) =>
+          val lon = (uid * 7919 % 36000).toDouble / 100.0 - 180.0
+          val lat = (uid * 104729 % 18000).toDouble / 100.0 - 90.0
+          (eid, graft.core.GeoHash.toString(lon, lat, 8))
+        }.toDF("event_id", "gh")
+    }),
+
+    // ======== fill / kriging / OI (rows-only; value-tested in ScalaTest) ===
+    "q_fill_loess" -> ((s, dir) => {
+      import s.implicits._
+      // one tile per nation: 12x12 grid with deterministic holes, loess-filled
+      val nations = s.read.parquet(t(dir, "nation")).select(col("n_nationkey"))
+        .as[Int].collect().toSeq
+      nations.toDF("n").as[Int].flatMap { n =>
+        val size = 12
+        val vals = Array.tabulate(size * size) { k =>
+          val i = k / size
+          val j = k % size
+          if ((i * j + n) % 13 == 0) Double.NaN
+          else ((i * 31 + j * 17 + n) % 97).toDouble
+        }
+        val filled = graft.core.Fill.loess(vals, size, size, 3, 3, "undefined")
+        filled.zipWithIndex.iterator.map { case (v, k) =>
+          (n, k / size, k % size, v)
+        }
+      }.toDF("n", "i", "j", "filled")
+    }),
+    "q_fill_gauss_seidel" -> ((s, dir) => {
+      import s.implicits._
+      val nations = s.read.parquet(t(dir, "nation")).select(col("n_nationkey"))
+        .as[Int].collect().toSeq
+      nations.toDF("n").as[Int].map { n =>
+        val size = 16
+        val vals = Array.tabulate(size * size) { k =>
+          val i = k / size
+          val j = k % size
+          if (i == 0 || j == 0 || i == size - 1 || j == size - 1)
+            (i + 2.0 * j + n).toDouble
+          else Double.NaN
+        }
+        val (filled, iters, residual) = graft.core.Fill.gaussSeidel(
+          vals, size, size, maxIterations = 2000, epsilon = 1e-8)
+        (n, iters, math.round(filled(8 * size + 8) * 1000) / 1000.0)
+      }.toDF("n", "iterations", "center")
+    }),
+    "q_kriging" -> ((s, dir) => {
+      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") <= 400)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 20).cast("double").as("x"),
+        (col("p_partkey") * 13 % 20).cast("double").as("y"),
+        ((col("p_partkey") % 20) + (col("p_partkey") * 13 % 20)).cast("double")
+          .as("value"),
+        col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 15).cast("double") + 0.5).as("x"),
+        ((col("s_suppkey") * 3 % 15).cast("double") + 0.5).as("y"))
+      KnnJoin.kriging(s, build, probe,
+        KnnJoin.Config(k = 16, geodetic = false), sigma = 1.0, lambda = 4.0,
+        covariance = "matern_32", drift = Some("linear"))
+        .select(col("qid"), round(col("value"), 4).as("kriged"),
+          col("neighbors"))
+    }),
+    "q_optimal_interpolation" -> ((s, dir) => {
+      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") <= 400)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 20).cast("double").as("x"),
+        (col("p_partkey") * 13 % 20).cast("double").as("y"),
+        ((col("p_partkey") % 20) * 0.5).cast("double").as("value"),
+        col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 15).cast("double") + 0.5).as("x"),
+        ((col("s_suppkey") * 3 % 15).cast("double") + 0.5).as("y"))
+      KnnJoin.optimalInterpolation(s, build, probe,
+        KnnJoin.Config(k = 16, geodetic = false), sigma2 = 1.0,
+        lengthScales = Array(3.0, 3.0), obsSigma2 = 0.01)
+        .select(col("qid"), round(col("value"), 4).as("oi_value"),
+          col("neighbors"))
+    }),
+
+    // ======== multimodal image ops (rows-only; PSNR-gated in ScalaTest) ===
+    "q_image_features" -> ((s, dir) => {
+      val images = graft.pipeline.ImageTableGen.generate(s, 64, 16).toDF()
+      ImageOps.features(images)
+        .select(col("image_id"), round(col("px_mean"), 6).as("px_mean"),
+          col("ahash"))
+    }),
+    "q_image_resize" -> ((s, dir) => {
+      val images = graft.pipeline.ImageTableGen.generate(s, 32, 16).toDF()
+      ImageOps.resize(images, 8, 8)
+        .select(col("image_id"), round(element_at(col("resized"), 1), 6)
+          .as("px0"))
+    }),
+
+    // ======== windowed grid methods (rows-only; value-tested) ========
+    "q_akima_grid" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders"))
+      val g = SparkEntry.syntheticGrid41
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 300).cast("double") / 10.0 + 5.0).as("x"),
+        ((col("o_orderkey") * 3 % 300).cast("double") / 10.0 + 5.0).as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "akima")
+        .filter(!isnan(col("value")))
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+
     // ======== flagship pipeline (rows-only; verified in ScalaTest) ========
     "q_tile_pipeline" -> ((s, dir) => {
       val images = graft.pipeline.ImageTableGen.generate(s, 64, 16)
@@ -702,6 +844,89 @@ object SparkEntry {
           |SELECT qid, id, rank FROM r WHERE rank <= 5"""
           .stripMargin.replace("\n", " ")
     ) ++ Map(
+      "q_crossover" -> {
+        // same segment-intersection arithmetic as Crossover.segmentIntersection
+        """WITH a AS (SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS rn,
+          |   CAST(s_suppkey AS DOUBLE) AS x,
+          |   CAST(s_suppkey * 7 % 100 AS DOUBLE) / 10.0 AS y
+          |  FROM supplier),
+          | b AS (SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS rn,
+          |   CAST(s_suppkey AS DOUBLE) AS x,
+          |   10.0 - CAST(s_suppkey * 3 % 100 AS DOUBLE) / 10.0 AS y
+          |  FROM supplier),
+          | segs_a AS (SELECT rn, x AS x1, y AS y1,
+          |   lead(x) OVER (ORDER BY rn) AS x2,
+          |   lead(y) OVER (ORDER BY rn) AS y2 FROM a),
+          | segs_b AS (SELECT rn, x AS x1, y AS y1,
+          |   lead(x) OVER (ORDER BY rn) AS x2,
+          |   lead(y) OVER (ORDER BY rn) AS y2 FROM b),
+          | pairs AS (SELECT sa.rn AS ra, sb.rn AS rb,
+          |   sa.x1 AS ax1, sa.y1 AS ay1, sa.x2 AS ax2, sa.y2 AS ay2,
+          |   sb.x1 AS bx1, sb.y1 AS by1, sb.x2 AS bx2, sb.y2 AS by2,
+          |   (sa.x2 - sa.x1) * (sb.y2 - sb.y1) -
+          |     (sa.y2 - sa.y1) * (sb.x2 - sb.x1) AS denom
+          |  FROM segs_a sa CROSS JOIN segs_b sb
+          |  WHERE sa.x2 IS NOT NULL AND sb.x2 IS NOT NULL),
+          | hits AS (SELECT ra, rb, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+          |   ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / denom AS t,
+          |   ((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)) / denom AS u
+          |  FROM pairs WHERE denom <> 0.0),
+          | pts AS (SELECT ra, rb, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+          |   ax1 + t * (ax2 - ax1) AS x, ay1 + t * (ay2 - ay1) AS y
+          |  FROM hits WHERE t >= 0.0 AND t < 1.0 AND u >= 0.0 AND u < 1.0)
+          |SELECT round(x, 9) AS x, round(y, 9) AS y,
+          | CAST(CASE WHEN (x-ax1)*(x-ax1)+(y-ay1)*(y-ay1) <=
+          |   (x-ax2)*(x-ax2)+(y-ay2)*(y-ay2) THEN ra ELSE ra + 1 END AS INT)
+          |   AS idx_a,
+          | CAST(CASE WHEN (x-bx1)*(x-bx1)+(y-by1)*(y-by1) <=
+          |   (x-bx2)*(x-bx2)+(y-by2)*(y-by2) THEN rb ELSE rb + 1 END AS INT)
+          |   AS idx_b
+          |FROM pts""".stripMargin.replace("\n", " ")
+      },
+
+      "q_knn_geodetic" -> {
+        val e2 = "0.0066943799901413165"
+        val a = "6378137.0"
+        def ecef(lon: String, lat: String): (String, String, String) = {
+          val sinLon = s"sin(($lon) * (pi() / 180.0))"
+          val cosLon = s"cos(($lon) * (pi() / 180.0))"
+          val sinLat = s"sin(($lat) * (pi() / 180.0))"
+          val cosLat = s"cos(($lat) * (pi() / 180.0))"
+          val n = s"($a / sqrt(1.0 - $e2 * $sinLat * $sinLat))"
+          (s"(($n + 0.0) * $cosLat * $cosLon)",
+           s"(($n + 0.0) * $cosLat * $sinLon)",
+           s"(($n * (1.0 - $e2) + 0.0) * $sinLat)")
+        }
+        val (bx, by, bz) = ecef(lonSql.format("c_custkey"),
+          latSql.format("c_custkey"))
+        val (qx, qy, qz) = ecef("(" + lonSql.format("s_suppkey") + ") + 0.005",
+          "(" + latSql.format("s_suppkey") + ") + 0.005")
+        s"""WITH b AS (SELECT c_custkey AS nid, $bx AS x, $by AS y, $bz AS z
+           |  FROM customer),
+           | q AS (SELECT s_suppkey AS qid, $qx AS x, $qy AS y, $qz AS z
+           |  FROM supplier),
+           | d AS (SELECT q.qid, b.nid,
+           |   (b.x-q.x)*(b.x-q.x)+(b.y-q.y)*(b.y-q.y)+(b.z-q.z)*(b.z-q.z)
+           |     AS d2 FROM q CROSS JOIN b),
+           | r AS (SELECT qid, nid, row_number() OVER
+           |   (PARTITION BY qid ORDER BY d2, nid) AS rank FROM d)
+           |SELECT qid, nid, rank FROM r WHERE rank <= 4"""
+          .stripMargin.replace("\n", " ")
+      },
+
+      "q_geohash_string" -> {
+        val h = geohashSql(lonSql.format("user_id"), latSql.format("user_id"),
+          40)
+        val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val chars = (0 until 8).map { i =>
+          val shift = java.math.BigInteger.valueOf(32).pow(7 - i)
+          s"substr('$alphabet', CAST((h // $shift) % 32 AS INT) + 1, 1)"
+        }.mkString(" || ")
+        s"""WITH c AS (SELECT event_id, $h AS h FROM events)
+           |SELECT event_id, $chars AS gh FROM c"""
+          .stripMargin.replace("\n", " ")
+      },
+
       "q_lla_to_ecef" -> {
         // mirror Geodesy.llaToEcef: n = a/sqrt(1-e2 sin^2), chord to (a,0,0)
         val e2 = "0.0066943799901413165" // F*(2-F) as the JVM computes it
