@@ -38,45 +38,54 @@ object Dedup {
       .groupBy("fp")
       .agg(count("*").as("n_dups"), min("id").as("keep_id"))
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
+  /** MinHash signature over an already-materialized shingle array column
+    * (compute [[shingles]] once; each of the k hashes reuses it).
     * Hash family: xxhash64(shingle || '#' || i) — deterministic, no
     * external salt tables.
     */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
+  def minhashSignatureFromShingles(sh: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(sh, s => xxhash64(concat(s, lit(s"#$i")))))
     }: _*)
-  }
+
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    minhashSignatureFromShingles(shingles(text, n), k)
 
   /** MinHash LSH candidate pairs: signatures banded into `bands` groups of
     * `rowsPerBand`; docs sharing any band bucket become candidates; exact
     * n-gram Jaccard then filters at `threshold`.
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Scale shape: shingles materialized once per doc; candidate id pairs
+    * deduplicated across bands BEFORE the (expensive) shingle-array join
+    * + exact Jaccard, so each surviving pair is verified exactly once.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"),
+    val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val banded = withSig.select(col("id"), col("sh"),
+    val withSig = withSh.select(col("id"), col("sh"),
+      minhashSignatureFromShingles(col("sh"), k).as("sig"))
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

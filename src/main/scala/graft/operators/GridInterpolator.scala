@@ -27,6 +27,33 @@ final case class Grid3D(xAxis: Axis, yAxis: Axis, zAxis: Axis,
   def plane(k: Int): (Int, Int) => Double = (i, j) => apply(i, j, k)
 }
 
+/** 4-D grid (x, y, z, u) — u typically a level axis, z possibly temporal
+  * (`pyinterp/core/__init__.pyi:599-611` Grid4D shape).
+  */
+final case class Grid4D(xAxis: Axis, yAxis: Axis, zAxis: Axis, uAxis: Axis,
+                        values: Array[Double]) extends Serializable {
+  @inline def apply(i: Int, j: Int, k: Int, l: Int): Double =
+    values(((i.toLong * yAxis.size + j) * zAxis.size + k).toInt * uAxis.size + l)
+  /** 3-D sub-grid at u index l. */
+  def cube(l: Int): Grid3D = {
+    val vals = new Array[Double](xAxis.size * yAxis.size * zAxis.size)
+    var i = 0
+    while (i < xAxis.size) {
+      var j = 0
+      while (j < yAxis.size) {
+        var k = 0
+        while (k < zAxis.size) {
+          vals((i * yAxis.size + j) * zAxis.size + k) = apply(i, j, k, l)
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    Grid3D(xAxis, yAxis, zAxis, vals)
+  }
+}
+
 /** Grid interpolation as a shuffle-free map stage: the grid is broadcast
   * once per executor and each partition runs the per-thread kernel loop of
   * the reference (`parallel_for` chunk ≙ partition,
@@ -124,6 +151,96 @@ object GridInterpolator {
               val v0 = planeKernel(k0)(x, y)
               val v1 = planeKernel(k1)(x, y)
               val t = if (z1 == z0) 0.0 else (z - z0) / (z1 - z0)
+              v0 + t * (v1 - v0)
+            }
+        }
+        Row.fromSeq(row.toSeq :+ v)
+      }
+    }(enc)
+  }
+}
+
+/** Quadrivariate: 2 (or 4) bivariate surfaces on the bracketing (z, u)
+  * planes, then linear/nearest combine along z and u
+  * (`pybind/windowed/quadrivariate.hpp`, `pybind/geometric/
+  * quadrivariate.hpp` structure). Companion to
+  * [[GridInterpolator.trivariate]].
+  */
+object QuadrivariateInterpolator {
+  def quadrivariate(spark: SparkSession, df: DataFrame, xCol: String,
+                    yCol: String, zCol: String, uCol: String, grid: Grid4D,
+                    method: String, zMethod: String = "linear",
+                    uMethod: String = "linear", halfWindow: Int = 3,
+                    boundary: Boundary.Value = Boundary.Undef,
+                    outputCol: String = "value"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(grid)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, DoubleType, nullable = false))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val xIdx = df.schema.fieldIndex(xCol)
+    val yIdx = df.schema.fieldIndex(yCol)
+    val zIdx = df.schema.fieldIndex(zCol)
+    val uIdx = df.schema.fieldIndex(uCol)
+    val m = method
+    val zm = zMethod
+    val um = uMethod
+    val hw = halfWindow
+    val bdy = boundary
+    df.mapPartitions { iter =>
+      val g = bc.value
+      // per-(z-plane, u-level) bivariate kernels, built lazily
+      val kernels = new java.util.HashMap[(Int, Int), BivariateKernel]()
+      def kernel(k: Int, l: Int): BivariateKernel = {
+        var kr = kernels.get((k, l))
+        if (kr == null) {
+          val vals = new Array[Double](g.xAxis.size * g.yAxis.size)
+          var i = 0
+          while (i < g.xAxis.size) {
+            var j = 0
+            while (j < g.yAxis.size) {
+              vals(i * g.yAxis.size + j) = g(i, j, k, l)
+              j += 1
+            }
+            i += 1
+          }
+          kr = new BivariateKernel(Grid2D(g.xAxis, g.yAxis, vals), m, hw, bdy)
+          kernels.put((k, l), kr)
+        }
+        kr
+      }
+      def alongZ(x: Double, y: Double, z: Double, l: Int): Double =
+        g.zAxis.findIndexes(z) match {
+          case None => Double.NaN
+          case Some((k0, k1)) =>
+            val z0 = g.zAxis(k0)
+            val z1 = g.zAxis(k1)
+            if (zm == "nearest") {
+              val k = if (math.abs(z - z0) <= math.abs(z1 - z)) k0 else k1
+              kernel(k, l)(x, y)
+            } else {
+              val v0 = kernel(k0, l)(x, y)
+              val v1 = kernel(k1, l)(x, y)
+              val t = if (z1 == z0) 0.0 else (z - z0) / (z1 - z0)
+              v0 + t * (v1 - v0)
+            }
+        }
+      iter.map { row =>
+        val x = row.getDouble(xIdx)
+        val y = row.getDouble(yIdx)
+        val z = row.getDouble(zIdx)
+        val u = row.getDouble(uIdx)
+        val v = g.uAxis.findIndexes(u) match {
+          case None => Double.NaN
+          case Some((l0, l1)) =>
+            val u0 = g.uAxis(l0)
+            val u1 = g.uAxis(l1)
+            if (um == "nearest") {
+              val l = if (math.abs(u - u0) <= math.abs(u1 - u)) l0 else l1
+              alongZ(x, y, z, l)
+            } else {
+              val v0 = alongZ(x, y, z, l0)
+              val v1 = alongZ(x, y, z, l1)
+              val t = if (u1 == u0) 0.0 else (u - u0) / (u1 - u0)
               v0 + t * (v1 - v0)
             }
         }

@@ -360,3 +360,38 @@ class GridInterpolatorSpec extends AnyFunSuite {
     assert(math.abs(out - (1.5 + 2.5 + 2.5)) < 1e-9)
   }
 }
+
+class QuadrivariateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.core.Axis
+
+  test("quadrivariate linear combine along z and u") {
+    val ax = Axis.regular(0.0, 4.0, 5)
+    val zA = Axis.regular(0.0, 1.0, 2)
+    val uA = Axis.regular(0.0, 2.0, 3)
+    // f = x + y + 10 z + 100 u (multilinear -> exact under bilinear+linear)
+    val vals = new Array[Double](5 * 5 * 2 * 3)
+    for (i <- 0 until 5; j <- 0 until 5; k <- 0 until 2; l <- 0 until 3)
+      vals(((i * 5 + j) * 2 + k) * 3 + l) =
+        ax(i) + ax(j) + 10.0 * zA(k) + 100.0 * uA(l)
+    val g4 = Grid4D(ax, ax, zA, uA, vals)
+    val df = Seq((1.5, 2.5, 0.25, 0.5)).toDF("x", "y", "z", "u")
+    val out = QuadrivariateInterpolator.quadrivariate(spark, df,
+      "x", "y", "z", "u", g4, "bilinear").select("value").as[Double].head()
+    assert(math.abs(out - (1.5 + 2.5 + 2.5 + 50.0)) < 1e-9)
+  }
+
+  test("nearest combine along u picks closest level") {
+    val ax = Axis.regular(0.0, 4.0, 5)
+    val zA = Axis.regular(0.0, 1.0, 2)
+    val uA = Axis.regular(0.0, 2.0, 3)
+    val vals = Array.tabulate(5 * 5 * 2 * 3)(idx => (idx % 3).toDouble * 7)
+    val g4 = Grid4D(ax, ax, zA, uA, vals)
+    val df = Seq((2.0, 2.0, 0.0, 1.9)).toDF("x", "y", "z", "u")
+    val out = QuadrivariateInterpolator.quadrivariate(spark, df,
+      "x", "y", "z", "u", g4, "nearest", uMethod = "nearest")
+      .select("value").as[Double].head()
+    assert(out == 14.0) // level u=2 -> value 2*7
+  }
+}
