@@ -32,7 +32,13 @@ import graft.core.{GeoHash, Geodesy, KdTree}
   */
 object KnnJoin {
 
-  /** k/radius defaults follow `config/rtree.hpp:88-94`. */
+  /** k/radius defaults follow `config/rtree.hpp:88-94`.
+    * `saltFactor > 1` splits each cell's PROBE rows across that many
+    * salt buckets and replicates the build rows to all of them —
+    * explicit hot-cell (dense imagery region) skew handling for the
+    * shuffle path, where AQE's skew-join rewrite does not apply to
+    * object cogroups.
+    */
   final case class Config(
       k: Int = 8,
       radius: Double = Double.PositiveInfinity,
@@ -41,7 +47,8 @@ object KnnJoin {
       broadcastThreshold: Long = 500000L,
       idwPower: Int = 2,
       windowKernel: String = "blackman",
-      windowArg: Double = 0.0)
+      windowArg: Double = 0.0,
+      saltFactor: Int = 1)
 
   case class BuildRow(cell: Long, cx: Double, cy: Double, cz: Double,
                       value: Double, id: Long)
@@ -105,15 +112,26 @@ object KnnJoin {
         }
       }
     } else {
-      // shuffle path: build replicated to 3x3 neighborhood, cogroup by cell
+      // shuffle path: build replicated to 3x3 neighborhood, cogroup by
+      // (cell, salt); salting splits hot cells across saltFactor tasks
       val k = cfg.k
       val radius = cfg.radius
+      val salt = math.max(1, cfg.saltFactor)
       val replicated = buildTyped.flatMap { b =>
         val nbrs = GeoHash.neighbors(b.cell, prec)
-        Iterator.single(b) ++ nbrs.iterator.map(c => b.copy(cell = c))
+        (Iterator.single(b) ++ nbrs.iterator.map(c => b.copy(cell = c)))
+          .flatMap { r =>
+            (0 until salt).iterator.map(s => (r.cell * salt + s, r))
+          }
       }
-      replicated.groupByKey(_.cell)
-        .cogroup(probeTyped.groupByKey(_.cell)) { (_, bIter, pIter) =>
+      val saltedProbe = probeTyped.map { p =>
+        val s = if (salt == 1) 0 else (p.qid % salt).toInt
+        (p.cell * salt + s, p)
+      }
+      replicated.groupByKey(_._1)
+        .cogroup(saltedProbe.groupByKey(_._1)) { (_, bIt, pIt) =>
+          val bIter = bIt.map(_._2)
+          val pIter = pIt.map(_._2)
           val probes = pIter.toArray
           if (probes.isEmpty) Iterator.empty
           else {

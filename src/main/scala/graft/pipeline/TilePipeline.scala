@@ -40,7 +40,7 @@ object TilePipeline {
   /** One merged tile: per-pixel mean and count arrays (row-major, tileSize
     * squared), plus per-tile provenance (image count).
     */
-  case class Tile(cell: Long, n_images: Int, sums: Array[Double],
+  case class Tile(cell: Long, n_images: Int, sums: Array[Float],
                   counts: Array[Int])
 
   case class TileOut(cell: Long, lon_min: Double, lat_min: Double,
@@ -81,7 +81,9 @@ object TilePipeline {
       val (cx0, cy0, cx1, cy1) = GeoHash.boundingBox(cell, precision)
       val dx = (cx1 - cx0) / tileSize
       val dy = (cy1 - cy0) / tileSize
-      val sums = new Array[Double](tileSize * tileSize)
+      // float sums halve the shuffle payload; <=thousands of [0,1]
+      // contributions per pixel keep the mean within ~1e-5 (PSNR gate 40dB)
+      val sums = new Array[Float](tileSize * tileSize)
       val counts = new Array[Int](tileSize * tileSize)
       var any = false
       var j = 0
@@ -95,7 +97,7 @@ object TilePipeline {
               val v = kernel(lon, lat)
               if (!v.isNaN) {
                 val k = j * tileSize + i
-                sums(k) += v
+                sums(k) += v.toFloat
                 counts(k) += 1
                 any = true
               }
@@ -168,7 +170,11 @@ object TilePipeline {
     val images = ImageTableGen.generate(spark, nImages, imageSize,
       partitions = partitions)
     val result = tiles(spark, images, precision, tileSize, method)
-    result.write.mode(SaveMode.Overwrite).parquet(s"$snapDir/tiles")
+    // explicit range partitioning on the cell id (north-star requirement):
+    // tiles land spatially clustered so a reader's cell-range predicate
+    // prunes whole files (PartitioningAwareFileIndex)
+    result.repartitionByRange(col("cell"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$snapDir/tiles")
     val elapsed = (System.nanoTime() - t0) / 1e9
     val df = spark.read.parquet(s"$snapDir/tiles")
     val nTiles = df.count()
