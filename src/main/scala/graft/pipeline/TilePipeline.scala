@@ -47,69 +47,100 @@ object TilePipeline {
                      lon_max: Double, lat_max: Double, n_images: Int,
                      mean: Array[Double], count: Array[Int])
 
-  /** Resample the raster of one image onto every tile grid its footprint
-    * covers; emit one partial tile per covered cell.
+  /** Per-task resampling kernel: all image-sized scratch (decode target,
+    * transposed value grid, bicubic derivative matrices, spline solver
+    * workspaces) is allocated once per (w, h) and reused across every
+    * image the task processes — the per-thread kernel state of the
+    * reference's `parallel_for` workers, and the main defense against
+    * allocation-bandwidth limits at 32 concurrent tasks. The only
+    * steady-state allocation per image is the emitted partial tiles.
     */
-  def partialTiles(row: ImageRow, precision: Int, tileSize: Int,
-                   method: String): Iterator[Tile] = {
-    val (pixels, w, h) = ImageCodec.decode(row.bytes)
-    // image grid: x = lon (columns), y = lat (rows)
-    val xAxis = Axis.regular(row.lon, row.lon + ImageTableGen.FootprintDeg, w)
-    val yAxis = Axis.regular(row.lat, row.lat + ImageTableGen.FootprintDeg, h)
-    val values = new Array[Double](w * h)
-    var c = 0
-    while (c < w) {
-      var r = 0
-      while (r < h) {
-        values(c * h + r) = pixels(r * w + c).toDouble
-        r += 1
+  final class TileResampler(precision: Int, tileSize: Int, method: String)
+      extends Serializable {
+    @transient private var ws: graft.core.DenseBicubicWorkspace = _
+    @transient private var values: Array[Double] = _
+    @transient private var xs: Array[Double] = _
+    @transient private var ys: Array[Double] = _
+    @transient private var wsW = -1
+    @transient private var wsH = -1
+    private val useBicubic = method == "bicubic"
+
+    def process(row: ImageRow): Iterator[Tile] = {
+      val (pixels, w, h) = ImageCodec.decode(row.bytes)
+      if (w != wsW || h != wsH) {
+        ws = new graft.core.DenseBicubicWorkspace(w, h)
+        values = new Array[Double](w * h)
+        xs = new Array[Double](w)
+        ys = new Array[Double](h)
+        wsW = w
+        wsH = h
       }
-      c += 1
-    }
-    // whole-image derivative precompute, allocation-free per-pixel eval:
-    // amortizes the bicubic spline solve over every tile pixel the image
-    // footprint covers (the reference's per-thread window cache analog,
-    // specialized to the raster case)
-    val dense = new graft.core.DenseBicubic(xAxis.values, yAxis.values, values)
-    val useBicubic = method == "bicubic"
-    val kernel: (Double, Double) => Double =
-      if (useBicubic) dense.apply else dense.bilinear
-    val cells = GeoHash.coverBox(row.lon, row.lat,
-      row.lon + ImageTableGen.FootprintDeg,
-      row.lat + ImageTableGen.FootprintDeg, precision)
-    cells.iterator.flatMap { cell =>
-      val (cx0, cy0, cx1, cy1) = GeoHash.boundingBox(cell, precision)
-      val dx = (cx1 - cx0) / tileSize
-      val dy = (cy1 - cy0) / tileSize
-      // float sums halve the shuffle payload; <=thousands of [0,1]
-      // contributions per pixel keep the mean within ~1e-5 (PSNR gate 40dB)
-      val sums = new Array[Float](tileSize * tileSize)
-      val counts = new Array[Int](tileSize * tileSize)
-      var any = false
+      val stepX = ImageTableGen.FootprintDeg / (w - 1)
+      val stepY = ImageTableGen.FootprintDeg / (h - 1)
+      var i = 0
+      while (i < w) { xs(i) = row.lon + stepX * i; i += 1 }
       var j = 0
-      while (j < tileSize) {
-        val lat = cy0 + (j + 0.5) * dy
-        if (lat >= yAxis.front && lat <= yAxis.back) {
-          var i = 0
-          while (i < tileSize) {
-            val lon = cx0 + (i + 0.5) * dx
-            if (lon >= xAxis.front && lon <= xAxis.back) {
-              val v = kernel(lon, lat)
-              if (!v.isNaN) {
-                val k = j * tileSize + i
-                sums(k) += v.toFloat
-                counts(k) += 1
-                any = true
-              }
-            }
-            i += 1
-          }
+      while (j < h) { ys(j) = row.lat + stepY * j; j += 1 }
+      // transpose row-major pixels into the x-major value grid
+      var c = 0
+      while (c < w) {
+        var r = 0
+        while (r < h) {
+          values(c * h + r) = pixels(r * w + c).toDouble
+          r += 1
         }
-        j += 1
+        c += 1
       }
-      if (any) Iterator.single(Tile(cell, 1, sums, counts)) else Iterator.empty
+      ws.load(xs, ys, values)
+      val xMin = xs(0); val xMax = xs(w - 1)
+      val yMin = ys(0); val yMax = ys(h - 1)
+      val cells = GeoHash.coverBox(row.lon, row.lat,
+        row.lon + ImageTableGen.FootprintDeg,
+        row.lat + ImageTableGen.FootprintDeg, precision)
+      val localWs = ws
+      cells.iterator.flatMap { cell =>
+        val (cx0, cy0, cx1, cy1) = GeoHash.boundingBox(cell, precision)
+        val dx = (cx1 - cx0) / tileSize
+        val dy = (cy1 - cy0) / tileSize
+        // float sums halve the shuffle payload; <=thousands of [0,1]
+        // contributions per pixel keep the mean within ~1e-5 (PSNR 40dB)
+        val sums = new Array[Float](tileSize * tileSize)
+        val counts = new Array[Int](tileSize * tileSize)
+        var any = false
+        var jj = 0
+        while (jj < tileSize) {
+          val lat = cy0 + (jj + 0.5) * dy
+          if (lat >= yMin && lat <= yMax) {
+            var ii = 0
+            while (ii < tileSize) {
+              val lon = cx0 + (ii + 0.5) * dx
+              if (lon >= xMin && lon <= xMax) {
+                val v = if (useBicubic) localWs.bicubic(lon, lat)
+                  else localWs.bilinear(lon, lat)
+                if (!v.isNaN) {
+                  val k = jj * tileSize + ii
+                  sums(k) += v.toFloat
+                  counts(k) += 1
+                  any = true
+                }
+              }
+              ii += 1
+            }
+          }
+          jj += 1
+        }
+        if (any) Iterator.single(Tile(cell, 1, sums, counts))
+        else Iterator.empty
+      }
     }
   }
+
+  /** One-shot form (tests / ad-hoc): see [[TileResampler]] for the
+    * partition-reused kernel the pipeline runs.
+    */
+  def partialTiles(row: ImageRow, precision: Int, tileSize: Int,
+                   method: String): Iterator[Tile] =
+    new TileResampler(precision, tileSize, method).process(row)
 
   def mergeTiles(a: Tile, b: Tile): Tile = {
     val n = a.sums.length
@@ -130,7 +161,10 @@ object TilePipeline {
     val ts = tileSize
     val m = method
     images
-      .flatMap(row => partialTiles(row, prec, ts, m))
+      .mapPartitions { iter =>
+        val kernel = new TileResampler(prec, ts, m)
+        iter.flatMap(kernel.process)
+      }
       .groupByKey(_.cell)
       .reduceGroups(mergeTiles _)
       .map { case (cell, t) =>

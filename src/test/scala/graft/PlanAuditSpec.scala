@@ -25,10 +25,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("l_shipdate"), "unneeded column not pruned:\n" + p)
     // (AQE wraps the plan pre-execution, hiding codegen-id markers;
     // the non-AQE geohash test below covers codegen directly)
-    // partial + final aggregation with one exchange (mergeable
-    // accumulator contract; ObjectHashAggregate is Catalyst's node for
-    // object-buffer UDAFs)
-    assert(p.split("ObjectHashAggregate").length >= 3, p)
+    // partial + final aggregation with one exchange; the declarative
+    // moments aggregate runs as codegen-capable HashAggregate, not the
+    // object-buffer ObjectHashAggregate
+    assert(p.split("HashAggregate").length >= 3, p)
+    assert(!p.contains("ObjectHashAggregate"), p)
     assert(p.split("Exchange").length >= 2, p)
   }
 
