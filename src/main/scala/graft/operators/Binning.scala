@@ -58,10 +58,20 @@ final class Binning2D(xAxis: Axis, yAxis: Axis) extends Serializable {
     * Periodic axes normalize x into the axis window first.
     */
   def binIndex(axis: Axis, x: Column): Column = {
-    require(axis.isRegular, "column-path binning requires a regular axis")
     val xn = normalized(axis, x)
-    val raw = round((xn - lit(axis.front)) / lit(axis.step)).cast("int")
-    least(greatest(raw, lit(0)), lit(axis.size - 1))
+    if (axis.isRegular) {
+      val raw = round((xn - lit(axis.front)) / lit(axis.step)).cast("int")
+      least(greatest(raw, lit(0)), lit(axis.size - 1))
+    } else {
+      // irregular axis: nearest index = number of bin midpoints below x
+      // (one comparison per boundary, folded into a codegen'd sum — the
+      // column-expression analog of the reference's lower_bound search)
+      require(axis.isAscending, "irregular binning axis must be ascending")
+      (0 until axis.size - 1).map { i =>
+        val mid = (axis.values(i) + axis.values(i + 1)) / 2.0
+        when(xn > lit(mid), 1).otherwise(0)
+      }.reduce(_ + _).cast("int")
+    }
   }
 
   private def normalized(axis: Axis, x: Column): Column =

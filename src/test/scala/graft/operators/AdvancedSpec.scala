@@ -242,3 +242,56 @@ class ImageOpsSpec extends AnyFunSuite {
     a.values.foreach { case (mean, _) => assert(mean > 0.0 && mean < 1.0) }
   }
 }
+
+class OrbitSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Synthetic inclined-orbit ground track: lat oscillates, lon advances. */
+  def track(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val t = i.toDouble
+      (t, (t * 2.0) % 360.0 - 180.0, 60.0 * math.sin(2 * math.Pi * t / 100.0))
+    }.toDF("time", "lon", "lat")
+
+  test("pass decomposition splits at latitude extrema") {
+    val out = Orbit.passDecomposition(track(300), "time", "lat")
+    val passes = out.select("pass_number").distinct().count()
+    // 300 samples over 3 sine periods = 6 half-orbits (+1 partial)
+    assert(passes >= 6 && passes <= 8, s"passes=$passes")
+    // ascending flag alternates between consecutive passes
+    val byPass = out.groupBy("pass_number")
+      .agg(avg(col("ascending").cast("int")).as("asc"))
+      .orderBy("pass_number").collect().map(_.getDouble(1))
+    byPass.sliding(2).drop(1).foreach { case Array(a, b) =>
+      assert((a > 0.5) != (b > 0.5), byPass.mkString(","))
+    }
+  }
+
+  test("resampled track stays on the original path") {
+    val out = Orbit.resampleTrack(spark, track(200), factor = 4)
+    assert(out.count() > 600)
+    val sample = out.filter(col("pass_number") === 2).collect()
+    sample.foreach { r =>
+      val lat = r.getDouble(3)
+      assert(lat >= -60.5 && lat <= 60.5)
+    }
+  }
+}
+
+class IrregularBinningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("irregular axis nearest-bin matches core Axis.findIndex(bounded)") {
+    val ax = graft.core.Axis(Array(0.0, 1.0, 4.0, 9.0, 16.0))
+    val binning = new Binning2D(ax, ax)
+    val xs = Seq(-3.0, 0.4, 2.4, 2.6, 7.0, 12.0, 20.0)
+    val df = xs.map(x => (x, 0.0, 1.0)).toDF("x", "y", "z")
+    val got = df.select(col("x"), binning.binIndex(ax, col("x")).as("ix"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toMap
+    xs.foreach { x =>
+      assert(got(x) == ax.findIndex(x, bounded = true), s"x=$x")
+    }
+  }
+}
