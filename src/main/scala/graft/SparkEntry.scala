@@ -426,6 +426,19 @@ object SparkEntry {
           col("idx_a"), col("idx_b"))
     }),
 
+    // ======== orbit pass decomposition (§2.8) ========
+    "q_orbit_pass" -> ((s, dir) => {
+      // synthetic ephemeris from supplier keys: sawtooth latitude
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val track = supp.select(
+        col("s_suppkey").cast("double").as("time"),
+        lit(0.0).as("lon"),
+        (abs((col("s_suppkey") * 7 % 100) - 50)).cast("double").as("lat"))
+      Orbit.passDecomposition(track, "time", "lat")
+        .select(col("time"), col("pass_number"),
+          col("ascending").cast("int").as("asc"))
+    }),
+
     // ======== geodetic kNN (ECEF metric, §2.3) ========
     "q_knn_geodetic" -> ((s, dir) => {
       val cust = s.read.parquet(t(dir, "customer"))
@@ -883,6 +896,25 @@ object SparkEntry {
           |   AS idx_b
           |FROM pts""".stripMargin.replace("\n", " ")
       },
+
+      "q_orbit_pass" ->
+        """WITH trk AS (SELECT CAST(s_suppkey AS DOUBLE) AS time,
+          |  CAST(abs(s_suppkey * 7 % 100 - 50) AS DOUBLE) AS lat
+          |  FROM supplier),
+          | d AS (SELECT time, lat,
+          |   lat - lag(lat) OVER (ORDER BY time) AS dlat FROM trk),
+          | p AS (SELECT time, dlat,
+          |   lag(dlat) OVER (ORDER BY time) AS prev_dlat FROM d),
+          | b AS (SELECT time, dlat,
+          |   CASE WHEN dlat IS NULL THEN 1
+          |     WHEN prev_dlat IS NOT NULL
+          |       AND (dlat >= 0) <> (prev_dlat >= 0) THEN 1
+          |     ELSE 0 END AS brk FROM p)
+          |SELECT time,
+          | SUM(brk) OVER (ORDER BY time
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pass_number,
+          | CAST(CASE WHEN dlat >= 0 OR dlat IS NULL THEN 1 ELSE 0 END AS INT)
+          |   AS asc FROM b""".stripMargin.replace("\n", " "),
 
       "q_knn_geodetic" -> {
         val e2 = "0.0066943799901413165"

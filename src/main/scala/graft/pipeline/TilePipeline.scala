@@ -153,14 +153,34 @@ object TilePipeline {
     Tile(a.cell, a.n_images + b.n_images, a.sums, a.counts)
   }
 
-  /** Full tile computation (no I/O): images -> merged tiles. */
+  /** Full tile computation (no I/O): images -> merged tiles.
+    *
+    * `spatialPartition` co-locates images by the cell of their anchor
+    * point BEFORE resampling, so the map-side combine collapses partial
+    * tiles locally and the merge shuffle carries ~1 row per cell instead
+    * of ~1 per (image x cell). That trade wins when the input is a real
+    * scan (images read from storage, shuffle-bytes-bound cluster); for
+    * the in-memory synthetic bench the extra exchange costs more than it
+    * saves, so it defaults off and the final tile table is instead
+    * range-partitioned at write time (see [[run]]).
+    */
   def tiles(spark: SparkSession, images: Dataset[ImageRow], precision: Int,
-            tileSize: Int, method: String = "bicubic"): Dataset[TileOut] = {
+            tileSize: Int, method: String = "bicubic",
+            spatialPartition: Boolean = false): Dataset[TileOut] = {
     import spark.implicits._
     val prec = precision
     val ts = tileSize
     val m = method
-    images
+    // hash partitioning on the cell id (not range: RangePartitioner's
+    // sampling pass would evaluate the synthesis/scan twice); same-cell
+    // images co-locate either way, which is what the combine needs
+    val placed =
+      if (spatialPartition)
+        images.repartition(
+          graft.functions.gf.geohash_encode(col("lon"), col("lat"), prec))
+          .as[ImageRow]
+      else images
+    placed
       .mapPartitions { iter =>
         val kernel = new TileResampler(prec, ts, m)
         iter.flatMap(kernel.process)
