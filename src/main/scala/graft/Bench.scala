@@ -45,8 +45,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "240000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val nImages = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "120000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = session(cpus)
 
     // per-operator timings (one pass; JIT-cold, representative of a

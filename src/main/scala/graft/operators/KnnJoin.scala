@@ -54,8 +54,15 @@ object KnnJoin {
                       value: Double, id: Long)
   case class ProbeRow(cell: Long, qid: Long, cx: Double, cy: Double,
                       cz: Double)
+  /** `exact` is the shuffle path's self-check (SURVEY §7.4): true when
+    * the k-th neighbor ball provably fits inside the probe's 3x3 cell
+    * block, so the block-local answer equals the global answer; always
+    * true on the broadcast path. Callers can requery flagged rows at a
+    * coarser precision.
+    */
   case class KnnNeighbors(qid: Long, dists: Array[Double],
-                          values: Array[Double], ids: Array[Long], n: Int)
+                          values: Array[Double], ids: Array[Long], n: Int,
+                          exact: Boolean)
 
   /** Core: neighbors per probe point.
     *
@@ -108,7 +115,7 @@ object KnnJoin {
           val q = if (dims == 3) Array(p.cx, p.cy, p.cz) else Array(p.cx, p.cy)
           val res = t.query(q, k, radius)
           KnnNeighbors(p.qid, res.map(_._1), res.map(_._2), res.map(_._3),
-            res.length)
+            res.length, exact = true)
         }
       }
     } else {
@@ -141,16 +148,49 @@ object KnnJoin {
             }, dims)
             if (tree.size == 0)
               probes.iterator.map(p => KnnNeighbors(p.qid,
-                Array.empty, Array.empty, Array.empty, 0))
+                Array.empty, Array.empty, Array.empty, 0, exact = false))
             else probes.iterator.map { p =>
               val q = if (dims == 3) Array(p.cx, p.cy, p.cz)
                 else Array(p.cx, p.cy)
               val res = tree.query(q, k, radius)
+              val isExact = res.length >= k &&
+                KnnJoin.ballInsideBlock(p, res(res.length - 1)._1, prec,
+                  geodetic, salt)
               KnnNeighbors(p.qid, res.map(_._1), res.map(_._2),
-                res.map(_._3), res.length)
+                res.map(_._3), res.length, isExact)
             }
           }
         }
+    }
+  }
+
+  /** Conservative exactness test for the shuffle path: the ball of the
+    * k-th neighbor distance around the probe point must fit inside its
+    * 3x3 cell block. Geodetic chord distances are converted to degree
+    * margins with a safety factor.
+    */
+  private[operators] def ballInsideBlock(p: ProbeRow, dK: Double,
+      precision: Int, geodetic: Boolean, salt: Int): Boolean = {
+    // p.cell carries the original (unsalted) cell id
+    val (x0, y0, x1, y1) = GeoHash.boundingBox(p.cell, precision)
+    val (lonErr, latErr) = GeoHash.errorWithPrecision(precision)
+    val bx0 = x0 - lonErr
+    val bx1 = x1 + lonErr
+    val by0 = y0 - latErr
+    val by1 = y1 + latErr
+    if (!geodetic) {
+      p.cx - dK >= bx0 && p.cx + dK <= bx1 &&
+        p.cy - dK >= by0 && p.cy + dK <= by1
+    } else {
+      // chord meters -> degree margins (conservative 1.05 factor; lon
+      // margin uses the widest latitude in the block)
+      val (lon, lat, _) = Geodesy.ecefToLla(p.cx, p.cy, p.cz)
+      val latMargin = dK / 110574.0 * 1.05
+      val maxAbsLat = math.min(89.9, math.max(math.abs(by0), math.abs(by1)))
+      val lonMargin = dK /
+        (111320.0 * math.cos(math.toRadians(maxAbsLat))) * 1.05
+      lon - lonMargin >= bx0 && lon + lonMargin <= bx1 &&
+        lat - latMargin >= by0 && lat + latMargin <= by1
     }
   }
 

@@ -199,6 +199,28 @@ object TilePipeline {
       }
   }
 
+  /** Fill NaN holes in merged tiles (pixels no image covered) with a
+    * tile-local solver — the pipeline face of §2.6: "loess" (tri-cube
+    * window, `fill/loess.hpp`), "gauss_seidel" (`fill/gauss_seidel.hpp`)
+    * or "matrix" (row-wise linear, `fill/matrix.hpp`). Pure map stage —
+    * tiles carry their own halo-free windows.
+    */
+  def fillTiles(tiles: Dataset[TileOut], tileSize: Int,
+                method: String = "loess"): Dataset[TileOut] = {
+    tiles.map { t =>
+      val filled = method match {
+        case "loess" =>
+          graft.core.Fill.loessIterative(t.mean, tileSize, tileSize, 3, 3)._1
+        case "gauss_seidel" =>
+          graft.core.Fill.gaussSeidel(t.mean, tileSize, tileSize)._1
+        case "matrix" =>
+          graft.core.Fill.matrixRows(t.mean, tileSize, tileSize)
+        case other => throw new IllegalArgumentException(s"fill $other")
+      }
+      t.copy(mean = filled)
+    }(org.apache.spark.sql.Encoders.product[TileOut])
+  }
+
   /** Snapshot id: stable hash of the run parameters. */
   def snapshotId(nImages: Long, size: Int, precision: Int, tileSize: Int,
                  method: String): String =

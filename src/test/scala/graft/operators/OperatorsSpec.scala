@@ -395,3 +395,63 @@ class QuadrivariateSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out == 14.0) // level u=2 -> value 2*7
   }
 }
+
+class SaltingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted shuffle kNN equals unsalted and broadcast results") {
+    val rng = new scala.util.Random(21)
+    // hot cell: 60% of build points in one tiny box (skew)
+    val build = (0 until 800).map { i =>
+      if (i % 5 < 3) (10.0 + rng.nextDouble() * 0.2,
+        10.0 + rng.nextDouble() * 0.2, i.toDouble, i.toLong)
+      else (rng.nextDouble() * 40, rng.nextDouble() * 40, i.toDouble, i.toLong)
+    }.toDF("x", "y", "value", "id")
+    val probe = (0 until 60).map { q =>
+      (q.toLong, rng.nextDouble() * 40, rng.nextDouble() * 40)
+    }.toDF("qid", "x", "y")
+    // precision 10 -> cells ~11 deg >> kth-neighbor distance (~1.6), the
+    // stated correctness envelope of the 3x3-block shuffle path
+    val base = KnnJoin.Config(k = 4, geodetic = false, precision = 10)
+    def run(cfg: KnnJoin.Config) =
+      KnnJoin.knnJoinFlat(spark, build, probe, cfg)
+        .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
+    val broadcast = run(base)
+    val shuffled = run(base.copy(broadcastThreshold = 0L))
+    val salted = run(base.copy(broadcastThreshold = 0L, saltFactor = 4))
+    assert(shuffled == broadcast)
+    assert(salted == broadcast)
+  }
+}
+
+class KnnExactFlagSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact flag is honest: flagged-true rows match global answer") {
+    val rng = new scala.util.Random(33)
+    val build = (0 until 600).map { i =>
+      (rng.nextDouble() * 40, rng.nextDouble() * 40, i.toDouble, i.toLong)
+    }.toDF("x", "y", "value", "id")
+    val probe = (0 until 80).map { q =>
+      (q.toLong, rng.nextDouble() * 40, rng.nextDouble() * 40)
+    }.toDF("qid", "x", "y")
+    // deliberately fine cells so some probes exceed the 3x3 guarantee
+    val cfg = KnnJoin.Config(k = 6, geodetic = false, precision = 14,
+      broadcastThreshold = 0L)
+    val shuffled = KnnJoin.neighbors(spark, build, probe, cfg).collect()
+      .map(r => r.qid -> r).toMap
+    val global = KnnJoin.neighbors(spark, build, probe,
+      cfg.copy(broadcastThreshold = Long.MaxValue)).collect()
+      .map(r => r.qid -> r).toMap
+    var exactCount = 0
+    shuffled.foreach { case (qid, r) =>
+      if (r.exact) {
+        exactCount += 1
+        assert(r.ids.toSeq == global(qid).ids.toSeq, s"qid $qid flagged exact")
+      }
+    }
+    assert(exactCount > 0, "no row was provably exact")
+  }
+}

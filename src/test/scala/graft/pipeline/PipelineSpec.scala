@@ -174,3 +174,25 @@ class FastPngInteropSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert((gray(y * 16 + x) & 0xFF) == (x * 16 + y) % 256)
   }
 }
+
+class FillTilesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("fillTiles closes NaN holes with loess") {
+    import spark.implicits._
+    val images = ImageTableGen.generate(spark, 25, 32, jpegFrac = 0.0)
+    val tiles = TilePipeline.tiles(spark, images, precision = 12,
+      tileSize = 16, method = "bicubic")
+    val before = tiles.collect()
+    val holes = before.map(_.mean.count(_.isNaN)).sum
+    val after = TilePipeline.fillTiles(tiles, 16, "loess").collect()
+    val remaining = after.map(_.mean.count(_.isNaN)).sum
+    assert(remaining < holes, s"$remaining vs $holes")
+    // filled tiles keep the original defined pixels
+    before.sortBy(_.cell).zip(after.sortBy(_.cell)).foreach { case (b, a) =>
+      b.mean.zip(a.mean).foreach { case (vb, va) =>
+        if (!vb.isNaN) assert(vb == va)
+      }
+    }
+  }
+}
