@@ -455,3 +455,66 @@ class KnnExactFlagSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(exactCount > 0, "no row was provably exact")
   }
 }
+
+class PeriodicSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.core.Axis
+
+  // smooth periodic field in longitude
+  def f(lon: Double, lat: Double): Double =
+    math.sin(math.toRadians(lon)) + 0.5 * math.cos(math.toRadians(lat))
+
+  def makeGrid(): Grid2D = {
+    val lonAxis = Axis.regular(-180.0, 175.0, 72, period = 360.0)
+    val latAxis = Axis.regular(-85.0, 85.0, 35)
+    val vals = new Array[Double](72 * 35)
+    for (i <- 0 until 72; j <- 0 until 35)
+      vals(i * 35 + j) = f(lonAxis(i), latAxis(j))
+    Grid2D(lonAxis, latAxis, vals)
+  }
+
+  test("bilinear interpolation crosses the antimeridian seam") {
+    val grid = makeGrid()
+    val pts = Seq((177.5, 10.0), (-177.5, 10.0), (179.9, -20.0), (183.0, 0.0))
+    val df = pts.toDF("x", "y")
+    val out = GridInterpolator.bivariate(spark, df, "x", "y", grid,
+      "bilinear").select("x", "y", "value").collect()
+    out.foreach { r =>
+      val lon = r.getDouble(0)
+      val lat = r.getDouble(1)
+      val got = r.getDouble(2)
+      assert(!got.isNaN, s"NaN at lon=$lon")
+      assert(math.abs(got - f(lon, lat)) < 0.01, s"lon=$lon got=$got")
+    }
+  }
+
+  test("bicubic windowed wraps across the seam") {
+    val grid = makeGrid()
+    val df = Seq((179.0, 0.0), (-179.0, 30.0)).toDF("x", "y")
+    val out = GridInterpolator.bivariate(spark, df, "x", "y", grid,
+      "bicubic").select("x", "value").collect()
+    out.foreach { r =>
+      val lon = r.getDouble(0)
+      val got = r.getDouble(1)
+      val expect = f(lon, if (lon == 179.0) 0.0 else 30.0)
+      assert(!got.isNaN, s"NaN at $lon")
+      assert(math.abs(got - expect) < 0.01, s"lon=$lon got=$got want=$expect")
+    }
+  }
+
+  test("linear binning wraps weights across the seam") {
+    val lonAxis = Axis.regular(-180.0, 175.0, 72, period = 360.0)
+    val latAxis = Axis.regular(-85.0, 85.0, 35)
+    val binning = new Binning2D(lonAxis, latAxis)
+    // point just east of the last lon bin (177.5 between bin 71 at 175
+    // and wrapped bin 0 at -180=180)
+    val df = Seq((177.5, 0.0, 8.0)).toDF("x", "y", "z")
+    val out = binning.linear(df, col("x"), col("y"), col("z"))
+      .select("ix", "sum_of_weights").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val wSum = out.values.sum
+    assert(math.abs(wSum - 1.0) < 1e-9)
+    assert(out.keySet.subsetOf(Set(0, 71)), out.keySet.toString)
+  }
+}
