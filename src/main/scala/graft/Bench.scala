@@ -136,10 +136,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","tiles_per_sec":$rateFull,"tiles":$tiles,""" +
       s""""tiles_per_sec_small":$rateN,"cores_small":$nSmall,""" +
       s""""tiles_per_sec_4n":$rate4N,"cores_large":$nLarge,""" +
-      s""""cores_deploy":$cpus,"scaling_efficiency":$efficiency}""")
+      s""""cores_deploy":$cpus,"scaling_efficiency":$efficiency}"""
+    println(json)
+    // stdout may be wrapped by a launcher (sbt [info] prefixes); keep a
+    // clean copy next to the scaling report
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH/last_run.json"), json)
+    } catch { case _: Throwable => () }
   }
 }
