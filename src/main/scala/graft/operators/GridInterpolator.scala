@@ -283,6 +283,9 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
 
   @transient private lazy val uniX = graft.core.Univariate1D(method)
   @transient private lazy val uniY = graft.core.Univariate1D(method)
+  // reused across evaluations: window shapes are constant per kernel
+  @transient private var sepTmp: Array[Double] = null
+  @transient private var sepCol: Array[Double] = null
 
   /** Separable application of a univariate method: fit along x for each
     * window row, then along y (`math/interpolate/bivariate/spline.hpp`
@@ -291,17 +294,19 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
   private def windowedSeparable(x: Double, y: Double): Double = {
     if (!loadWindow(x, y)) return Double.NaN
     val xq = queryX(x)
-    val tmp = new Array[Double](cachedYs.length)
+    if (sepTmp == null || sepTmp.length != cachedYs.length)
+      sepTmp = new Array[Double](cachedYs.length)
+    if (sepCol == null || sepCol.length != cachedXs.length)
+      sepCol = new Array[Double](cachedXs.length)
     var j = 0
     while (j < cachedYs.length) {
-      val colv = new Array[Double](cachedXs.length)
       var i = 0
-      while (i < cachedXs.length) { colv(i) = cachedZ(i)(j); i += 1 }
-      if (!uniX.fit(cachedXs, colv)) return Double.NaN
-      tmp(j) = uniX.value(xq)
+      while (i < cachedXs.length) { sepCol(i) = cachedZ(i)(j); i += 1 }
+      if (!uniX.fit(cachedXs, sepCol)) return Double.NaN
+      sepTmp(j) = uniX.value(xq)
       j += 1
     }
-    if (!uniY.fit(cachedYs, tmp)) return Double.NaN
+    if (!uniY.fit(cachedYs, sepTmp)) return Double.NaN
     uniY.value(y)
   }
 
