@@ -234,8 +234,11 @@ object SparkEntry {
       val probe = supp.select(col("s_suppkey").as("qid"),
         ((col("s_suppkey") % 50).cast("double") + 0.3).as("x"),
         ((col("s_suppkey") * 3 % 50).cast("double") + 0.7).as("y"))
+      // broadcastThreshold = 0 forces the distributed cell-join path; the
+      // exact oracle proves shuffle ≡ broadcast (ShuffleParitySpec covers
+      // the equivalence directly)
       KnnJoin.distanceJoin(s, build, probe, radius = 2.0,
-          KnnJoin.Config(geodetic = false))
+          KnnJoin.Config(geodetic = false, broadcastThreshold = 0L))
         .select(col("qid"), col("nid"))
     }),
 
@@ -293,7 +296,8 @@ object SparkEntry {
       // pass/segment decomposition: break when gap > 1h
       import org.apache.spark.sql.expressions.Window
       val ev = s.read.parquet(t(dir, "events"))
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      // order by (ts, event_id): deterministic when events share a timestamp
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("brk",
           when(col("prev_ts").isNull ||
@@ -517,10 +521,33 @@ object SparkEntry {
       val probe = supp.select(col("s_suppkey").as("qid"),
         ((col("s_suppkey") % 15).cast("double") + 0.5).as("x"),
         ((col("s_suppkey") * 3 % 15).cast("double") + 0.5).as("y"))
+      // shuffle path (threshold 0) at a block size (precision 8 ≙ 22°
+      // cells) that holds all k=16 neighbors — no driver collect
       KnnJoin.kriging(s, build, probe,
-        KnnJoin.Config(k = 16, geodetic = false), sigma = 1.0, lambda = 4.0,
+        KnnJoin.Config(k = 16, geodetic = false, broadcastThreshold = 0L,
+          precision = 8),
+        sigma = 1.0, lambda = 4.0,
         covariance = "matern_32", drift = Some("linear"))
         .select(col("qid"), round(col("value"), 4).as("kriged"),
+          col("neighbors"))
+    }),
+    "q_rbf" -> ((s, dir) => {
+      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") <= 400)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 20).cast("double").as("x"),
+        (col("p_partkey") * 13 % 20).cast("double").as("y"),
+        ((col("p_partkey") % 20) + (col("p_partkey") * 13 % 20)).cast("double")
+          .as("value"),
+        col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 15).cast("double") + 0.5).as("x"),
+        ((col("s_suppkey") * 3 % 15).cast("double") + 0.5).as("y"))
+      KnnJoin.rbf(s, build, probe,
+        KnnJoin.Config(k = 16, geodetic = false, broadcastThreshold = 0L,
+          precision = 8),
+        kernel = "thin_plate", smooth = 0.0)
+        .select(col("qid"), round(col("value"), 4).as("rbf_value"),
           col("neighbors"))
     }),
     "q_optimal_interpolation" -> ((s, dir) => {
@@ -535,7 +562,9 @@ object SparkEntry {
         ((col("s_suppkey") % 15).cast("double") + 0.5).as("x"),
         ((col("s_suppkey") * 3 % 15).cast("double") + 0.5).as("y"))
       KnnJoin.optimalInterpolation(s, build, probe,
-        KnnJoin.Config(k = 16, geodetic = false), sigma2 = 1.0,
+        KnnJoin.Config(k = 16, geodetic = false, broadcastThreshold = 0L,
+          precision = 8),
+        sigma2 = 1.0,
         lengthScales = Array(3.0, 3.0), obsSigma2 = 0.01)
         .select(col("qid"), round(col("value"), 4).as("oi_value"),
           col("neighbors"))
@@ -752,16 +781,18 @@ object SparkEntry {
           |FROM s GROUP BY user_id, grp""".stripMargin.replace("\n", " "),
 
       "q_track_decompose" ->
-        """WITH e AS (SELECT user_id, ts,
-          |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        """WITH e AS (SELECT user_id, ts, event_id,
+          |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |     AS prev_ts
           |  FROM events),
-          | b AS (SELECT user_id, ts,
+          | b AS (SELECT user_id, ts, event_id,
           |   CASE WHEN prev_ts IS NULL
           |     OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS brk
           |  FROM e),
           | s AS (SELECT user_id, ts,
-          |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+          |   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |     AS segment
           |  FROM b)
           |SELECT user_id, segment, COUNT(*) AS n, MIN(ts) AS seg_start
           |FROM s GROUP BY user_id, segment""".stripMargin.replace("\n", " "),
@@ -801,8 +832,9 @@ object SparkEntry {
 
       "q_token_stats" ->
         """SELECT lang, COUNT(*) AS n_docs,
-          | SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
-          | SUM(n_chars) AS sum_chars
+          | CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+          |   AS sum_tokens,
+          | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
           |FROM documents GROUP BY lang""".stripMargin.replace("\n", " "),
 
       "q_lang_id" -> {
@@ -911,8 +943,9 @@ object SparkEntry {
           |       AND (dlat >= 0) <> (prev_dlat >= 0) THEN 1
           |     ELSE 0 END AS brk FROM p)
           |SELECT time,
-          | SUM(brk) OVER (ORDER BY time
-          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pass_number,
+          | CAST(SUM(brk) OVER (ORDER BY time
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |   AS pass_number,
           | CAST(CASE WHEN dlat >= 0 OR dlat IS NULL THEN 1 ELSE 0 END AS INT)
           |   AS asc FROM b""".stripMargin.replace("\n", " "),
 

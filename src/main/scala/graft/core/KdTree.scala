@@ -61,7 +61,27 @@ final class KdTree(dims: Int, coords: Array[Double], payload: Array[Double],
     */
   def query(q: Array[Double], k: Int,
             radius: Double = Double.PositiveInfinity)
-      : Array[(Double, Double, Long)] = {
+      : Array[(Double, Double, Long)] =
+    knnRaw(q, k, radius).map { case (d, i) => (d, payload(i), ids(i)) }
+
+  /** Like [[query]] but also returns each neighbor's coordinates — the
+    * input RBF/kriging/optimal-interpolation need (they re-evaluate kernels
+    * against the neighbor positions, `rtree.hpp:450-471`).
+    */
+  def queryWithCoords(q: Array[Double], k: Int,
+                      radius: Double = Double.PositiveInfinity)
+      : Array[(Double, Double, Long, Array[Double])] =
+    knnRaw(q, k, radius).map { case (d, i) =>
+      val c = new Array[Double](dims)
+      System.arraycopy(coords, i * dims, c, 0, dims)
+      (d, payload(i), ids(i), c)
+    }
+
+  /** Shared exact-kNN core: (distance, internal index) sorted ascending by
+    * (distance, id).
+    */
+  private def knnRaw(q: Array[Double], k: Int, radius: Double)
+      : Array[(Double, Int)] = {
     // bounded max-heap over (squared distance, id) lexicographic
     val heapD = new Array[Double](k)
     val heapI = new Array[Int](k)
@@ -130,11 +150,11 @@ final class KdTree(dims: Int, coords: Array[Double], payload: Array[Double],
     val out = (0 until heapSize).iterator
       .map(i => (heapD(i), heapI(i)))
       .filter(_._1 <= r2)
-      .map { case (d2, i) => (math.sqrt(d2), payload(i), ids(i)) }
+      .map { case (d2, i) => (math.sqrt(d2), i) }
       .toArray
     scala.util.Sorting.stableSort(out,
-      (a: (Double, Double, Long), b: (Double, Double, Long)) =>
-        a._1 < b._1 || (a._1 == b._1 && a._3 < b._3))
+      (a: (Double, Int), b: (Double, Int)) =>
+        a._1 < b._1 || (a._1 == b._1 && ids(a._2) < ids(b._2)))
     out
   }
 

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Polygon2D
 
 /** Crossover finding: intersection points of two satellite ground tracks
   * (`/root/reference/cxx/include/pyinterp/geometry/satellite/algorithms/
@@ -76,25 +75,96 @@ object Crossover {
     dx * dx + dy * dy
   }
 
-  /** DataFrame face: tracks as (idx, x, y) tables ordered by idx; track B
-    * is broadcast; output (x, y, idx_a, idx_b).
+  /** Consecutive-vertex segments of a track via a self equi-join on
+    * `idx + 1` — no global window, so a 10^9-vertex constellation table
+    * still parallelizes. `idx` must be dense (0..n-1) per track, the
+    * natural shape of an ephemeris vertex table.
     */
-  def join(spark: SparkSession, trackA: DataFrame, trackB: DataFrame)
-      : DataFrame = {
-    import spark.implicits._
-    val b = trackB.select(col("idx").cast("int"), col("x").cast("double"),
-        col("y").cast("double"))
-      .as[(Int, Double, Double)].collect().sortBy(_._1)
-      .map(t => (t._2, t._3))
-    val bc = spark.sparkContext.broadcast(b)
-    val a = trackA.select(col("idx").cast("int"), col("x").cast("double"),
-        col("y").cast("double"))
-      .as[(Int, Double, Double)].collect().sortBy(_._1)
-      .map(t => (t._2, t._3))
-    // tracks are driver-small; the distributed variant would range-
-    // partition segments by cell — local exact search keeps reference
-    // parity for the operator result
-    val found = findLocal(a, bc.value)
-    spark.createDataFrame(found.toSeq).toDF("x", "y", "idx_a", "idx_b")
+  private def segments(track: DataFrame, tag: String): DataFrame = {
+    val t1 = track.select(col("idx").cast("int").as(s"i$tag"),
+      col("x").cast("double").as(s"${tag}x1"),
+      col("y").cast("double").as(s"${tag}y1"))
+    val t2 = track.select((col("idx").cast("int") - 1).as(s"i$tag"),
+      col("x").cast("double").as(s"${tag}x2"),
+      col("y").cast("double").as(s"${tag}y2"))
+    t1.join(t2, s"i$tag")
+  }
+
+  /** DataFrame face: tracks as (idx, x, y) tables with dense per-track
+    * vertex indices; output (x, y, idx_a, idx_b).
+    *
+    * Distributed plan (the scaladoc sketch, now real): segments of both
+    * tracks are exploded to the grid cells their bbox covers
+    * (`cellSize`-sized), equi-joined on cell, refined with the exact
+    * parametric intersection in pure Catalyst columns, and each hit is
+    * reported only from the cell that CONTAINS the intersection point —
+    * so multi-cell segment pairs need no dedup shuffle. `cellSize <= 0`
+    * derives one from the combined track extent (a 4-double aggregate).
+    */
+  def join(spark: SparkSession, trackA: DataFrame, trackB: DataFrame,
+           cellSize: Double = 0.0): DataFrame = {
+    val segA = segments(trackA, "a")
+    val segB = segments(trackB, "b")
+    val cs =
+      if (cellSize > 0.0) cellSize
+      else {
+        val r1 = segA.select(min(least(col("ax1"), col("ax2"))),
+          max(greatest(col("ax1"), col("ax2"))),
+          min(least(col("ay1"), col("ay2"))),
+          max(greatest(col("ay1"), col("ay2")))).head()
+        val r2 = segB.select(min(least(col("bx1"), col("bx2"))),
+          max(greatest(col("bx1"), col("bx2"))),
+          min(least(col("by1"), col("by2"))),
+          max(greatest(col("by1"), col("by2")))).head()
+        val w = math.max(r1.getDouble(1), r2.getDouble(1)) -
+          math.min(r1.getDouble(0), r2.getDouble(0))
+        val h = math.max(r1.getDouble(3), r2.getDouble(3)) -
+          math.min(r1.getDouble(2), r2.getDouble(2))
+        math.max(math.max(w, h) / 256.0, 1e-12)
+      }
+
+    def covered(seg: DataFrame, tag: String): DataFrame = {
+      val x1 = col(s"${tag}x1"); val y1 = col(s"${tag}y1")
+      val x2 = col(s"${tag}x2"); val y2 = col(s"${tag}y2")
+      seg
+        .withColumn("_ixs", sequence(
+          floor(least(x1, x2) / cs).cast("int"),
+          floor(greatest(x1, x2) / cs).cast("int")))
+        .withColumn("_iys", sequence(
+          floor(least(y1, y2) / cs).cast("int"),
+          floor(greatest(y1, y2) / cs).cast("int")))
+        .withColumn("cix", explode(col("_ixs")))
+        .withColumn("ciy", explode(col("_iys")))
+        .drop("_ixs", "_iys")
+    }
+
+    val joined = covered(segA, "a").join(covered(segB, "b"),
+      Seq("cix", "ciy"))
+    val denom = (col("ax2") - col("ax1")) * (col("by2") - col("by1")) -
+      (col("ay2") - col("ay1")) * (col("bx2") - col("bx1"))
+    val tPar = ((col("bx1") - col("ax1")) * (col("by2") - col("by1")) -
+      (col("by1") - col("ay1")) * (col("bx2") - col("bx1"))) / col("_denom")
+    val uPar = ((col("bx1") - col("ax1")) * (col("ay2") - col("ay1")) -
+      (col("by1") - col("ay1")) * (col("ax2") - col("ax1"))) / col("_denom")
+    val hits = joined
+      .withColumn("_denom", denom)
+      .filter(col("_denom") =!= 0.0)
+      .withColumn("_t", tPar)
+      .withColumn("_u", uPar)
+      // half-open [0,1): shared-vertex crossovers are reported once
+      .filter(col("_t") >= 0.0 && col("_t") < 1.0 &&
+        col("_u") >= 0.0 && col("_u") < 1.0)
+      .withColumn("x", col("ax1") + col("_t") * (col("ax2") - col("ax1")))
+      .withColumn("y", col("ay1") + col("_t") * (col("ay2") - col("ay1")))
+      // report-once rule: only the cell containing the point emits the hit
+      .filter(floor(col("x") / cs).cast("int") === col("cix") &&
+        floor(col("y") / cs).cast("int") === col("ciy"))
+    def d2(x0: Column, y0: Column): Column =
+      (col("x") - x0) * (col("x") - x0) + (col("y") - y0) * (col("y") - y0)
+    hits.select(col("x"), col("y"),
+      when(d2(col("ax1"), col("ay1")) <= d2(col("ax2"), col("ay2")),
+        col("ia")).otherwise(col("ia") + 1).as("idx_a"),
+      when(d2(col("bx1"), col("by1")) <= d2(col("bx2"), col("by2")),
+        col("ib")).otherwise(col("ib") + 1).as("idx_b"))
   }
 }

@@ -71,14 +71,11 @@ object KnnJoin {
     * @param probe DataFrame with columns (qid, x, y)
     * @return Dataset[KnnNeighbors]
     */
-  def neighbors(spark: SparkSession, build: DataFrame, probe: DataFrame,
-                cfg: Config): Dataset[KnnNeighbors] = {
+  /** Typed build side: cell-encoded at `prec`, ECEF when geodetic. */
+  private def toBuildTyped(spark: SparkSession, build: DataFrame,
+      geodetic: Boolean, prec: Int): Dataset[BuildRow] = {
     import spark.implicits._
-    val dims = if (cfg.geodetic) 3 else 2
-    val geodetic = cfg.geodetic
-    val prec = cfg.precision
-
-    val buildTyped: Dataset[BuildRow] = build
+    build
       .select(col("x").cast("double"), col("y").cast("double"),
         col("value").cast("double"), col("id").cast("long"))
       .as[(Double, Double, Double, Long)]
@@ -87,8 +84,12 @@ object KnnJoin {
           if (geodetic) Geodesy.llaToEcef(x, y, 0.0) else (x, y, 0.0)
         BuildRow(GeoHash.encode(x, y, prec), cx, cy, cz, v, id)
       }
+  }
 
-    val probeTyped: Dataset[ProbeRow] = probe
+  private def toProbeTyped(spark: SparkSession, probe: DataFrame,
+      geodetic: Boolean, prec: Int): Dataset[ProbeRow] = {
+    import spark.implicits._
+    probe
       .select(col("qid").cast("long"), col("x").cast("double"),
         col("y").cast("double"))
       .as[(Long, Double, Double)]
@@ -97,6 +98,41 @@ object KnnJoin {
           if (geodetic) Geodesy.llaToEcef(x, y, 0.0) else (x, y, 0.0)
         ProbeRow(GeoHash.encode(x, y, prec), qid, cx, cy, cz)
       }
+  }
+
+  /** Build rows keyed by every salted cell of their 3x3 block (the border-
+    * replication that makes block-local answers globally correct).
+    */
+  private def replicateSalted(spark: SparkSession, buildTyped: Dataset[BuildRow],
+      prec: Int, salt: Int): Dataset[(Long, BuildRow)] = {
+    import spark.implicits._
+    buildTyped.flatMap { b =>
+      val nbrs = GeoHash.neighbors(b.cell, prec)
+      (Iterator.single(b) ++ nbrs.iterator.map(c => b.copy(cell = c)))
+        .flatMap { r =>
+          (0 until salt).iterator.map(s => (r.cell * salt + s, r))
+        }
+    }
+  }
+
+  private def saltProbes(spark: SparkSession, probeTyped: Dataset[ProbeRow],
+      salt: Int): Dataset[(Long, ProbeRow)] = {
+    import spark.implicits._
+    probeTyped.map { p =>
+      val s = if (salt == 1) 0 else (p.qid % salt).toInt
+      (p.cell * salt + s, p)
+    }
+  }
+
+  def neighbors(spark: SparkSession, build: DataFrame, probe: DataFrame,
+                cfg: Config): Dataset[KnnNeighbors] = {
+    import spark.implicits._
+    val dims = if (cfg.geodetic) 3 else 2
+    val geodetic = cfg.geodetic
+    val prec = cfg.precision
+
+    val buildTyped = toBuildTyped(spark, build, geodetic, prec)
+    val probeTyped = toProbeTyped(spark, probe, geodetic, prec)
 
     val buildCount = build.count()
     if (buildCount <= cfg.broadcastThreshold) {
@@ -124,17 +160,8 @@ object KnnJoin {
       val k = cfg.k
       val radius = cfg.radius
       val salt = math.max(1, cfg.saltFactor)
-      val replicated = buildTyped.flatMap { b =>
-        val nbrs = GeoHash.neighbors(b.cell, prec)
-        (Iterator.single(b) ++ nbrs.iterator.map(c => b.copy(cell = c)))
-          .flatMap { r =>
-            (0 until salt).iterator.map(s => (r.cell * salt + s, r))
-          }
-      }
-      val saltedProbe = probeTyped.map { p =>
-        val s = if (salt == 1) 0 else (p.qid % salt).toInt
-        (p.cell * salt + s, p)
-      }
+      val replicated = replicateSalted(spark, buildTyped, prec, salt)
+      val saltedProbe = saltProbes(spark, probeTyped, salt)
       replicated.groupByKey(_._1)
         .cogroup(saltedProbe.groupByKey(_._1)) { (_, bIt, pIt) =>
           val bIter = bIt.map(_._2)
@@ -195,36 +222,98 @@ object KnnJoin {
   }
 
   /** Distance join (`rtree.hpp:340-362` query_ball / ST_DWithin): all
-    * (probe, build) pairs within `radius`. Broadcast tree when small,
-    * cell-join otherwise (radius must be below one cell size for the
-    * shuffle path's 3x3 guarantee).
+    * (probe, build) pairs within `radius` as flat
+    * (qid, nid, dist, value) rows.
+    *
+    * Broadcast tree when the build side is small; otherwise the same
+    * 3x3-replicated cell cogroup as [[neighbors]]. The shuffle path is
+    * exact when `radius` fits inside one cell, so the cell precision is
+    * auto-coarsened from `cfg.precision` until that holds (geodetic radii
+    * are chord metres, converted to degree bounds at `maxAbsLat`, beyond
+    * which longitude cells are too narrow to guarantee the block cover).
     */
   def distanceJoin(spark: SparkSession, build: DataFrame, probe: DataFrame,
-                   radius: Double, cfg: Config): DataFrame = {
+                   radius: Double, cfg: Config,
+                   maxAbsLat: Double = 80.0): DataFrame = {
     import spark.implicits._
     val dims = if (cfg.geodetic) 3 else 2
     val geodetic = cfg.geodetic
-    val pts = build
-      .select(col("x").cast("double"), col("y").cast("double"),
-        col("value").cast("double"), col("id").cast("long"))
-      .as[(Double, Double, Double, Long)]
-      .collect()
-    val tree = KdTree.build(pts.iterator.map { case (x, y, v, id) =>
-      (if (geodetic) { val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0)
-        Array(a, b, c) } else Array(x, y), v, id)
-    }, dims)
-    val bc = spark.sparkContext.broadcast(tree)
-    probe.select(col("qid").cast("long"), col("x").cast("double"),
-        col("y").cast("double"))
-      .as[(Long, Double, Double)]
-      .flatMap { case (qid, x, y) =>
-        val q = if (geodetic) {
-          val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0); Array(a, b, c)
-        } else Array(x, y)
-        bc.value.queryBall(q, radius).iterator
-          .map(r => (qid, r._3, r._1, r._2))
-      }
-      .toDF("qid", "nid", "dist", "value")
+    val buildCount = build.count()
+    if (buildCount <= cfg.broadcastThreshold) {
+      val pts = build
+        .select(col("x").cast("double"), col("y").cast("double"),
+          col("value").cast("double"), col("id").cast("long"))
+        .as[(Double, Double, Double, Long)]
+        .collect()
+      val tree = KdTree.build(pts.iterator.map { case (x, y, v, id) =>
+        (if (geodetic) { val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0)
+          Array(a, b, c) } else Array(x, y), v, id)
+      }, dims)
+      val bc = spark.sparkContext.broadcast(tree)
+      probe.select(col("qid").cast("long"), col("x").cast("double"),
+          col("y").cast("double"))
+        .as[(Long, Double, Double)]
+        .flatMap { case (qid, x, y) =>
+          val q = if (geodetic) {
+            val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0); Array(a, b, c)
+          } else Array(x, y)
+          bc.value.queryBall(q, radius).iterator
+            .map(r => (qid, r._3, r._1, r._2))
+        }
+        .toDF("qid", "nid", "dist", "value")
+    } else {
+      val prec = radiusSafePrecision(radius, cfg.precision, geodetic,
+        maxAbsLat)
+      val salt = math.max(1, cfg.saltFactor)
+      val replicated = replicateSalted(spark,
+        toBuildTyped(spark, build, geodetic, prec), prec, salt)
+      val saltedProbe = saltProbes(spark,
+        toProbeTyped(spark, probe, geodetic, prec), salt)
+      replicated.groupByKey(_._1)
+        .cogroup(saltedProbe.groupByKey(_._1)) { (_, bIt, pIt) =>
+          val probes = pIt.map(_._2).toArray
+          if (probes.isEmpty) Iterator.empty
+          else {
+            val tree = KdTree.build(bIt.map(_._2).map { b =>
+              (if (dims == 3) Array(b.cx, b.cy, b.cz) else Array(b.cx, b.cy),
+                b.value, b.id)
+            }, dims)
+            if (tree.size == 0) Iterator.empty
+            else probes.iterator.flatMap { p =>
+              val q = if (dims == 3) Array(p.cx, p.cy, p.cz)
+                else Array(p.cx, p.cy)
+              tree.queryBall(q, radius).iterator
+                .map(r => (p.qid, r._3, r._1, r._2))
+            }
+          }
+        }
+        .toDF("qid", "nid", "dist", "value")
+    }
+  }
+
+  /** Coarsest-enough precision so a `radius` ball around any probe point
+    * stays inside its 3x3 cell block. Precision steps by 2 bits (lon/lat
+    * interleave); throws when even the 4-cell globe cannot contain the
+    * radius — at that point a distance join is a near-cross-join and the
+    * caller should broadcast instead.
+    */
+  private[operators] def radiusSafePrecision(radius: Double, startPrec: Int,
+      geodetic: Boolean, maxAbsLat: Double): Int = {
+    // conservative degree bound for a chord-metre radius
+    val degNeeded =
+      if (!geodetic) radius
+      else math.max(radius / 110574.0,
+        radius / (111320.0 * math.cos(math.toRadians(
+          math.min(89.0, maxAbsLat))))) * 1.05
+    var prec = startPrec
+    while (prec >= 4) {
+      val (lonErr, latErr) = GeoHash.errorWithPrecision(prec)
+      if (math.min(lonErr, latErr) >= degNeeded) return prec
+      prec -= 2
+    }
+    throw new IllegalArgumentException(
+      s"distance join radius $radius exceeds the coarsest cell size; " +
+        "broadcast the build side (raise broadcastThreshold) instead")
   }
 
   /** Flat (qid, nid, dist, value, rank) rows — the relational face of the
@@ -310,12 +399,11 @@ object KnnJoin {
     import spark.implicits._
     val dims = if (cfg.geodetic) 3 else 2
     val geodetic = cfg.geodetic
-    // need neighbor coordinates: rerun probe with coordinate capture
     val withCoords = neighborsWithCoords(spark, build, probe, cfg)
     withCoords.map { r =>
-      val v = RbfSolver.interpolate(r._2, r._3, r._4, kernel, epsilon, smooth,
-        dims)
-      (r._1, v, r._3.length)
+      val v = RbfSolver.interpolate(r.q, r.coords, r.values, kernel, epsilon,
+        smooth, dims)
+      (r.qid, v, r.coords.length)
     }.toDF("qid", "value", "neighbors")
   }
 
@@ -330,11 +418,12 @@ object KnnJoin {
     import spark.implicits._
     val model = new graft.core.Kriging(sigma, lambda, nugget, covariance,
       drift)
-    neighborsWithCoords(spark, build, probe, cfg).map { case (qid, q, cs, vs) =>
-      val q3 = if (q.length == 3) q else Array(q(0), q(1), 0.0)
-      val cs3 = cs.map(c => if (c.length == 3) c else Array(c(0), c(1), 0.0))
-      val (v, variance) = model.solve(cs3, vs, q3)
-      (qid, v, variance, vs.length)
+    neighborsWithCoords(spark, build, probe, cfg).map { r =>
+      val q3 = if (r.q.length == 3) r.q else Array(r.q(0), r.q(1), 0.0)
+      val cs3 = r.coords.map(c =>
+        if (c.length == 3) c else Array(c(0), c(1), 0.0))
+      val (v, variance) = model.solve(cs3, r.values, q3)
+      (r.qid, v, variance, r.values.length)
     }.toDF("qid", "value", "variance", "neighbors")
   }
 
@@ -349,52 +438,91 @@ object KnnJoin {
     import spark.implicits._
     val model = new graft.core.OptimalInterpolation(sigma2, lengthScales,
       kernel)
-    neighborsWithCoords(spark, build, probe, cfg).map { case (qid, q, cs, vs) =>
+    neighborsWithCoords(spark, build, probe, cfg).map { r =>
       val (v, err, n) =
-        model.solve(cs, vs, Array.fill(vs.length)(obsSigma2), q)
-      (qid, v, err, n)
+        model.solve(r.coords, r.values,
+          Array.fill(r.values.length)(obsSigma2), r.q)
+      (r.qid, v, err, n)
     }.toDF("qid", "value", "error_variance", "neighbors")
   }
 
+  /** Probe point + neighbor coordinates/values, for the solvers that need
+    * positions (RBF, kriging, OI). `exact` has the same block-cover meaning
+    * as [[KnnNeighbors.exact]].
+    */
   case class NbrWithCoords(qid: Long, q: Array[Double],
-                           coords: Array[Array[Double]], values: Array[Double])
+                           coords: Array[Array[Double]],
+                           values: Array[Double], exact: Boolean)
 
+  /** kNN with neighbor coordinates: broadcast tree when the build side is
+    * small, else the same 3x3-replicated cell cogroup as [[neighbors]]
+    * (the coordinates ride the existing shuffle — nothing is collected).
+    */
   private def neighborsWithCoords(spark: SparkSession, build: DataFrame,
-      probe: DataFrame, cfg: Config)
-      : Dataset[(Long, Array[Double], Array[Array[Double]], Array[Double])] = {
+      probe: DataFrame, cfg: Config): Dataset[NbrWithCoords] = {
     import spark.implicits._
     val dims = if (cfg.geodetic) 3 else 2
     val geodetic = cfg.geodetic
     val prec = cfg.precision
     val k = cfg.k
     val radius = cfg.radius
-    // broadcast-only path for coordinate-carrying queries (RBF/kriging are
-    // run on modest neighbor sets; the shuffle variant mirrors `neighbors`)
-    val pts = build
-      .select(col("x").cast("double"), col("y").cast("double"),
-        col("value").cast("double"), col("id").cast("long"))
-      .as[(Double, Double, Double, Long)]
-      .collect()
-    val coordsArr = pts.map { case (x, y, _, _) =>
-      if (geodetic) { val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0); Array(a, b, c) }
-      else Array(x, y)
-    }
-    val tree = KdTree.build(
-      pts.indices.iterator.map(i => (coordsArr(i), pts(i)._3, i.toLong)), dims)
-    val bc = spark.sparkContext.broadcast((tree, coordsArr))
-    probe.select(col("qid").cast("long"), col("x").cast("double"),
-        col("y").cast("double"))
-      .as[(Long, Double, Double)]
-      .mapPartitions { iter =>
-        val (t, ca) = bc.value
-        iter.map { case (qid, x, y) =>
-          val q = if (geodetic) {
-            val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0); Array(a, b, c)
-          } else Array(x, y)
-          val res = t.query(q, k, radius)
-          (qid, q, res.map(r => ca(r._3.toInt)), res.map(_._2))
+    val buildCount = build.count()
+    if (buildCount <= cfg.broadcastThreshold) {
+      val pts = build
+        .select(col("x").cast("double"), col("y").cast("double"),
+          col("value").cast("double"), col("id").cast("long"))
+        .as[(Double, Double, Double, Long)]
+        .collect()
+      val tree = KdTree.build(pts.iterator.map { case (x, y, v, id) =>
+        (if (geodetic) { val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0)
+          Array(a, b, c) } else Array(x, y), v, id)
+      }, dims)
+      val bc = spark.sparkContext.broadcast(tree)
+      probe.select(col("qid").cast("long"), col("x").cast("double"),
+          col("y").cast("double"))
+        .as[(Long, Double, Double)]
+        .mapPartitions { iter =>
+          val t = bc.value
+          iter.map { case (qid, x, y) =>
+            val q = if (geodetic) {
+              val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0); Array(a, b, c)
+            } else Array(x, y)
+            val res = t.queryWithCoords(q, k, radius)
+            NbrWithCoords(qid, q, res.map(_._4), res.map(_._2), exact = true)
+          }
         }
-      }
+    } else {
+      val salt = math.max(1, cfg.saltFactor)
+      val replicated = replicateSalted(spark,
+        toBuildTyped(spark, build, geodetic, prec), prec, salt)
+      val saltedProbe = saltProbes(spark,
+        toProbeTyped(spark, probe, geodetic, prec), salt)
+      replicated.groupByKey(_._1)
+        .cogroup(saltedProbe.groupByKey(_._1)) { (_, bIt, pIt) =>
+          val probes = pIt.map(_._2).toArray
+          if (probes.isEmpty) Iterator.empty
+          else {
+            val tree = KdTree.build(bIt.map(_._2).map { b =>
+              (if (dims == 3) Array(b.cx, b.cy, b.cz) else Array(b.cx, b.cy),
+                b.value, b.id)
+            }, dims)
+            probes.iterator.map { p =>
+              val q = if (dims == 3) Array(p.cx, p.cy, p.cz)
+                else Array(p.cx, p.cy)
+              if (tree.size == 0)
+                NbrWithCoords(p.qid, q, Array.empty, Array.empty,
+                  exact = false)
+              else {
+                val res = tree.queryWithCoords(q, k, radius)
+                val isExact = res.length >= k &&
+                  ballInsideBlock(p, res(res.length - 1)._1, prec, geodetic,
+                    salt)
+                NbrWithCoords(p.qid, q, res.map(_._4), res.map(_._2), isExact)
+              }
+            }
+          }
+        }
+    }
   }
 }
 

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Broadcast-path vs shuffle-path equivalence for every KnnJoin face, and
+  * distributed-vs-local equivalence for the crossover join — the
+  * correctness contract that lets the engine pick paths by build-side
+  * size without changing answers.
+  */
+class ShuffleParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def buildDf = {
+    val rows = for (i <- 0 until 500)
+      yield ((i % 25).toDouble, (i * 13 % 25).toDouble,
+        (i % 97).toDouble, i.toLong)
+    rows.toDF("x", "y", "value", "id")
+  }
+
+  private def probeDf = {
+    val rows = for (i <- 0 until 60)
+      yield (i.toLong, (i % 22).toDouble + 0.3, (i * 3 % 22).toDouble + 0.7)
+    rows.toDF("qid", "x", "y")
+  }
+
+  // coarse cells (22.5 x 11.25 deg) so every 3x3 block holds all points:
+  // the shuffle path must then answer EXACTLY like the broadcast tree
+  private val bcCfg = KnnJoin.Config(k = 8, geodetic = false,
+    broadcastThreshold = Long.MaxValue, precision = 8)
+  private val shCfg = bcCfg.copy(broadcastThreshold = 0L)
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  test("distanceJoin: shuffle path ≡ broadcast path row sets") {
+    val b = KnnJoin.distanceJoin(spark, buildDf, probeDf, radius = 2.0, bcCfg)
+    val s = KnnJoin.distanceJoin(spark, buildDf, probeDf, radius = 2.0, shCfg)
+    assert(sortedRows(b) == sortedRows(s))
+    assert(b.count() > 0)
+  }
+
+  test("distanceJoin shuffle path auto-coarsens precision for the radius") {
+    // default precision 24 has ~0.04 deg cells << radius 2: without the
+    // auto-coarsening the cell join would drop cross-cell pairs
+    val fine = shCfg.copy(precision = 24)
+    val b = KnnJoin.distanceJoin(spark, buildDf, probeDf, radius = 2.0, bcCfg)
+    val s = KnnJoin.distanceJoin(spark, buildDf, probeDf, radius = 2.0, fine)
+    assert(sortedRows(b) == sortedRows(s))
+  }
+
+  test("kriging: shuffle path ≡ broadcast path values") {
+    val args = (KnnJoin.kriging(spark, buildDf, probeDf, _: KnnJoin.Config,
+      1.0, 4.0, 0.0, "matern_32", Some("linear")))
+    assert(sortedRows(args(bcCfg)) == sortedRows(args(shCfg)))
+  }
+
+  test("rbf: shuffle path ≡ broadcast path values") {
+    def run(cfg: KnnJoin.Config) =
+      KnnJoin.rbf(spark, buildDf, probeDf, cfg, kernel = "thin_plate")
+    assert(sortedRows(run(bcCfg)) == sortedRows(run(shCfg)))
+  }
+
+  test("optimal interpolation: shuffle path ≡ broadcast path values") {
+    def run(cfg: KnnJoin.Config) =
+      KnnJoin.optimalInterpolation(spark, buildDf, probeDf, cfg,
+        sigma2 = 1.0, lengthScales = Array(3.0, 3.0), obsSigma2 = 0.01)
+    assert(sortedRows(run(bcCfg)) == sortedRows(run(shCfg)))
+  }
+
+  test("crossover: distributed cell join ≡ exact local search") {
+    val n = 2000
+    val a = (0 until n).map(i =>
+      (i, i.toDouble, (i * 7 % 100).toDouble / 10.0)).toDF("idx", "x", "y")
+    val b = (0 until n).map(i =>
+      (i, i.toDouble, 10.0 - (i * 3 % 100).toDouble / 10.0))
+      .toDF("idx", "x", "y")
+    val dist = Crossover.join(spark, a, b).collect()
+      .map(r => (math.round(r.getDouble(0) * 1e9), math.round(r.getDouble(1) * 1e9),
+        r.getInt(2), r.getInt(3))).sorted.toSeq
+    val la = (0 until n).map(i => (i.toDouble, (i * 7 % 100).toDouble / 10.0))
+      .toArray
+    val lb = (0 until n).map(i => (i.toDouble, 10.0 - (i * 3 % 100).toDouble / 10.0))
+      .toArray
+    val loc = Crossover.findLocal(la, lb)
+      .map(r => (math.round(r._1 * 1e9), math.round(r._2 * 1e9), r._3, r._4))
+      .sorted.toSeq
+    assert(dist.nonEmpty && dist == loc)
+  }
+
+  test("crossover scales: 1e5-vertex tracks, analytic crossing count") {
+    // A runs along y=0; B zigzags between +0.5 and -0.5: each B segment
+    // crosses A exactly once -> n-1 crossings
+    val n = 100000
+    val a = spark.range(n).select(col("id").cast("int").as("idx"),
+      col("id").cast("double").as("x"), lit(0.0).as("y"))
+    val b = spark.range(n).select(col("id").cast("int").as("idx"),
+      col("id").cast("double").as("x"),
+      when(col("id") % 2 === 0, 0.5).otherwise(-0.5).as("y"))
+    assert(Crossover.join(spark, a, b).count() === (n - 1).toLong)
+  }
+}

@@ -50,6 +50,17 @@ def main():
             continue
         try:
             exp = con.sql(sql)
+            # The driver converts via pandas/arrow, where HUGEINT and other
+            # exotic integer widths hash differently from Spark's BIGINT even
+            # when values are identical (r1: q_token_stats/q_track_decompose/
+            # q_orbit_pass all failed on exactly this). Flag them hard.
+            odd = [(c, str(t)) for c, t in zip(exp.columns, exp.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT", "TINYINT",
+                                 "SMALLINT", "UINTEGER", "USMALLINT",
+                                 "UTINYINT")]
+            if odd:
+                results[name] = f"ORACLE-TYPE {odd} — CAST to BIGINT/INT"
+                continue
             erows, ecols = canon(exp.fetchall(), exp.columns)
         except Exception as e:
             results[name] = f"ORACLE-FAIL {type(e).__name__} {str(e)[:200]}"
