@@ -49,13 +49,58 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = session(cpus)
 
-    // per-operator timings (one pass; JIT-cold, representative of a
-    // driver-style single-shot run)
+    // absorb session/JIT cold-start (parquet reader init, codegen
+    // compiler, shuffle machinery) on the flagship ONCE, so the per-query
+    // single-shot timings below are attributable to the queries themselves
+    // rather than to whichever name sorts first
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+
+    // per-operator timings (one pass each, after the shared warmup)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // ANN quality gate: measured recall@5 of multi-table LSH (planes=6,
+    // tables=4) vs the exact brute-force baseline, on 64-dim vectors with
+    // cluster structure (100 clusters x 20 points — the shape of real
+    // embedding corpora; the parquet fixture's vectors are near-orthogonal
+    // noise, the adversarial worst case for ANY locality hash). Bucket-size
+    // histogram logged as the skew signal for straggler buckets at scale.
+    val annRecall = try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def h(a: Long, b: Long): Double = {
+        var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+        (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+      }
+      val vecs = (0 until 2000).map { i =>
+        val c = i % 100
+        (i.toLong, Array.tabulate(64)(d =>
+          (h(c, d) + 0.15 * h(i + 1000000L, d)).toFloat))
+      }
+      val items = vecs.toDF("id", "embedding")
+      val queries = items.filter(col("id") < 100)
+        .select(col("id").as("qid"), col("embedding"))
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(items, queries, k = 5).select("qid", "id")
+      val approx = graft.operators.Similarity
+        .lshTopK(items, queries, k = 5, planes = 6, tables = 4)
+        .select("qid", "id")
+      val hit = exact.intersect(approx).count().toDouble
+      val hist = items
+        .select(graft.operators.Similarity
+          .lshBucket(col("embedding"), 6, 64).as("bucket"))
+        .groupBy("bucket").count()
+        .agg(min("count"), max("count"), avg("count"), count(lit(1)))
+        .head()
+      System.err.println(s"[bench] ann bucket histogram (planes=6): " +
+        s"min=${hist.getLong(0)} max=${hist.getLong(1)} " +
+        f"mean=${hist.getDouble(2)}%.1f buckets=${hist.getLong(3)}")
+      hit / exact.count()
+    } catch { case _: Throwable => Double.NaN }
     spark.stop()
 
     // scaling evidence: interleaved min-of-k at N = cpus/8 and
@@ -141,7 +186,8 @@ object Bench {
       s""""sf":"$sfDir","tiles_per_sec":$rateFull,"tiles":$tiles,""" +
       s""""tiles_per_sec_small":$rateN,"cores_small":$nSmall,""" +
       s""""tiles_per_sec_4n":$rate4N,"cores_large":$nLarge,""" +
-      s""""cores_deploy":$cpus,"scaling_efficiency":$efficiency}"""
+      s""""cores_deploy":$cpus,"scaling_efficiency":$efficiency,""" +
+      s""""ann_recall_at5":${if (annRecall.isNaN) "null" else annRecall}}"""
     println(json)
     // stdout may be wrapped by a launcher (sbt [info] prefixes); keep a
     // clean copy next to the scaling report

@@ -64,6 +64,27 @@ object SparkEntry {
   /** Flagship: the tile pipeline at smoke scale — spatial join of
     * synthesized imagery to cells + bicubic resample + per-pixel binning.
     */
+  /** Exact all-pairs trigram-Jaccard oracle over doc_id < 200 — shared by
+    * q_ngram_jaccard and q_minhash_lsh (whose banded-LSH candidates are
+    * verified with the same exact Jaccard, and whose qualifying planted
+    * near-dups collide deterministically on this corpus).
+    */
+  def trigramJaccardSql(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |  FROM documents WHERE doc_id < 200),
+       | sh AS (SELECT doc_id,
+       |  list_distinct([array_to_string(tk[i:i+2], ' ')
+       |    FOR i IN range(1, len(tk) - 1)]) AS s
+       |  FROM toks),
+       | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |     len(list_distinct(list_concat(a.s, b.s))) AS jac
+       |  FROM sh a CROSS JOIN sh b
+       |  WHERE a.doc_id < b.doc_id AND len(a.s) + len(b.s) > 0)
+       |SELECT id_a, id_b, round(jac, 9) AS jac FROM pairs
+       |WHERE jac >= $threshold""".stripMargin.replace("\n", " ")
+
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val images = graft.pipeline.ImageTableGen.generate(spark, 64, 16)
@@ -368,17 +389,21 @@ object SparkEntry {
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
-        .filter(col("doc_id") < 40)
+        .filter(col("doc_id") < 200)
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
-          threshold = 0.05)
+          threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jac"))
     }),
     "q_minhash_lsh" -> ((s, dir) => {
-      // hash family is engine-specific (xxhash64) -> rows-only check
+      // banded xxhash64 minhash candidates + exact-Jaccard verify; the
+      // qualifying pairs are the planted near-dups (jac >= 0.2), which
+      // collide in at least one band deterministically on this corpus —
+      // so the output equals the exact all-pairs oracle
       val docs = s.read.parquet(t(dir, "documents"))
         .filter(col("doc_id") < 200)
-      Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 2, bands = 8,
-        rowsPerBand = 2, threshold = 0.2)
+      Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 3, bands = 8,
+          rowsPerBand = 2, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jac"))
     }),
     "q_simhash" -> ((s, dir) => {
       // xxhash64-based -> rows-only check
@@ -402,18 +427,26 @@ object SparkEntry {
     }),
     "q_ann_lsh_cosine" -> ((s, dir) => {
       // LSH-bucketed ANN: engine-specific buckets -> rows-only check
+      // (recall vs bruteForceTopK is measured in Bench)
       val emb = s.read.parquet(t(dir, "embeddings"))
       val items = emb.select(col("vec_id").as("id"), col("embedding"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
-      Similarity.lshTopK(items, queries, k = 5, planes = 6)
+      Similarity.lshTopK(items, queries, k = 5, planes = 6, tables = 4)
     }),
     "q_embedding_neardup" -> ((s, dir) => {
+      // the fixture vectors are near-orthogonal (max pair cosine ~0.4),
+      // so near-dups are PLANTED: vec_id < 50 gets a 2x-scaled twin at
+      // id+1000 (cosine 1, and same projection signs in every LSH band,
+      // so banded recall is structural, not probabilistic)
       val emb = s.read.parquet(t(dir, "embeddings"))
-        .filter(col("vec_id") < 100)
-      Similarity.cosineNearDupPairs(
-        emb.select(col("vec_id").as("id"), col("embedding")),
-        threshold = 0.9, planes = 4)
+      val base = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000).as("id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.cosineNearDupPairs(base.unionAll(twins), threshold = 0.7,
+        planesPerBand = 6, bands = 4)
     }),
 
     // ======== crossover / tracks (§2.3, §2.8) ========
@@ -860,20 +893,24 @@ object SparkEntry {
           .stripMargin.replace("\n", " ")
       },
 
-      "q_ngram_jaccard" ->
-        """WITH toks AS (SELECT doc_id,
-          |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
-          |  FROM documents WHERE doc_id < 40),
-          | sh AS (SELECT doc_id,
-          |  list_distinct([array_to_string(tk[i:i+2], ' ')
-          |    FOR i IN range(1, len(tk) - 1)]) AS s
-          |  FROM toks),
-          | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          |     len(list_distinct(list_concat(a.s, b.s))) AS jac
-          |  FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
-          |SELECT id_a, id_b, round(jac, 9) AS jac FROM pairs
-          |WHERE jac >= 0.05""".stripMargin.replace("\n", " "),
+      "q_ngram_jaccard" -> SparkEntry.trigramJaccardSql(0.2),
+
+      "q_minhash_lsh" -> SparkEntry.trigramJaccardSql(0.2),
+
+      "q_embedding_neardup" ->
+        """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+          |  FROM embeddings WHERE vec_id < 100
+          |  UNION ALL
+          |  SELECT vec_id + 1000 AS id,
+          |   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS e
+          |  FROM embeddings WHERE vec_id < 50),
+          | p AS (SELECT a.id AS id_a, b.id AS id_b,
+          |   list_dot_product(a.e, b.e) /
+          |    (sqrt(list_dot_product(a.e, a.e)) *
+          |     sqrt(list_dot_product(b.e, b.e))) AS cos
+          |  FROM base a JOIN base b ON a.id < b.id)
+          |SELECT id_a, id_b FROM p WHERE cos >= 0.7"""
+          .stripMargin.replace("\n", " "),
 
       "q_topk_cosine" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

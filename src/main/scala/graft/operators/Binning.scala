@@ -118,9 +118,6 @@ final class Binning2D(xAxis: Axis, yAxis: Axis) extends Serializable {
     val yn = normalized(yAxis, y)
     val ix0 = frameIndex(xAxis, x)
     val iy0 = frameIndex(yAxis, y)
-    val ix1 = if (xAxis.isPeriodic) pmod(ix0 + 1, lit(xAxis.size)).cast("int")
-      else (ix0 + 1)
-    val iy1 = iy0 + 1
     val x0 = lit(xAxis.front) + ix0 * lit(xAxis.step)
     val y0 = lit(yAxis.front) + iy0 * lit(yAxis.step)
     // periodic x: normalize the coordinate into [x0, x0+period) so t stays
@@ -128,20 +125,32 @@ final class Binning2D(xAxis: Axis, yAxis: Axis) extends Serializable {
     val xEff = if (xAxis.isPeriodic)
       pmod(xn - x0, lit(xAxis.period)) + x0
     else xn
-    val t = (xEff - x0) / lit(xAxis.step)
-    val u = (yn - y0) / lit(yAxis.step)
-    val w00 = (lit(1) - t) * (lit(1) - u)
-    val w01 = (lit(1) - t) * u
-    val w11 = t * u
-    val w10 = t * (lit(1) - u)
 
-    val exploded = df
+    // materialize the frame ONCE per input row (a separate Project below
+    // the Generate), so the floor/pmod chains are not re-evaluated inside
+    // each of the 4 exploded structs
+    val framed = df
       .filter(!isnan(z) && z.isNotNull && ix0.isNotNull && iy0.isNotNull)
-      .select(z.as("z"), explode(array(
-        struct(ix0.as("ix"), iy0.as("iy"), w00.as("w")),
-        struct(ix0.as("ix"), iy1.as("iy"), w01.as("w")),
-        struct(ix1.as("ix"), iy1.as("iy"), w11.as("w")),
-        struct(ix1.as("ix"), iy0.as("iy"), w10.as("w")))).as("b"))
+      .select(z.as("z"), ix0.as("ix0"), iy0.as("iy0"),
+        ((xEff - x0) / lit(xAxis.step)).as("t"),
+        ((yn - y0) / lit(yAxis.step)).as("u"))
+
+    val ix0c = col("ix0")
+    val iy0c = col("iy0")
+    val ix1c =
+      if (xAxis.isPeriodic) pmod(ix0c + 1, lit(xAxis.size)).cast("int")
+      else (ix0c + 1)
+    val iy1c = iy0c + 1
+    val t = col("t")
+    val u = col("u")
+    val exploded = framed
+      .select(col("z"), explode(array(
+        struct(ix0c.as("ix"), iy0c.as("iy"),
+          ((lit(1) - t) * (lit(1) - u)).as("w")),
+        struct(ix0c.as("ix"), iy1c.as("iy"), ((lit(1) - t) * u).as("w")),
+        struct(ix1c.as("ix"), iy1c.as("iy"), (t * u).as("w")),
+        struct(ix1c.as("ix"), iy0c.as("iy"), (t * (lit(1) - u)).as("w"))))
+        .as("b"))
       .filter(abs(col("b.w")) > lit(1e-12))
 
     exploded

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, floor, lit}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import graft.core.{Axis, Bicubic, Boundary, Interpolate}
@@ -68,11 +69,25 @@ final case class Grid4D(xAxis: Axis, yAxis: Axis, zAxis: Axis, uAxis: Axis,
   */
 object GridInterpolator {
 
+  private val geometricMethods = Set("bilinear", "idw", "nearest")
+
   def bivariate(spark: SparkSession, df: DataFrame, xCol: String, yCol: String,
                 grid: Grid2D, method: String, halfWindow: Int = 3,
                 boundary: Boundary.Value = Boundary.Undef,
-                outputCol: String = "value"): DataFrame = {
+                outputCol: String = "value",
+                sortProbes: Boolean = true): DataFrame = {
     val bc: Broadcast[Grid2D] = spark.sparkContext.broadcast(grid)
+    // windowed methods keep a per-window cache (fits reused across probes
+    // in the same 6x6 window); a PARTITION-LOCAL sort by grid cell turns
+    // scattered probes into runs of cache hits — no shuffle, and at scale
+    // the O(p log p) per-task sort is far cheaper than per-row refits
+    val input =
+      if (!sortProbes || geometricMethods.contains(method)) df
+      else if (grid.xAxis.isRegular && grid.yAxis.isRegular)
+        df.sortWithinPartitions(
+          floor((col(xCol) - lit(grid.xAxis.front)) / lit(grid.xAxis.step)),
+          floor((col(yCol) - lit(grid.yAxis.front)) / lit(grid.yAxis.step)))
+      else df.sortWithinPartitions(col(xCol), col(yCol))
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, DoubleType, nullable = false))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
@@ -81,7 +96,7 @@ object GridInterpolator {
     val m = method
     val hw = halfWindow
     val bdy = boundary
-    df.mapPartitions { iter =>
+    input.mapPartitions { iter =>
       val g = bc.value
       val interp = new BivariateKernel(g, m, hw, bdy)
       iter.map { row =>
@@ -281,11 +296,15 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
     case other => throw new IllegalArgumentException(s"method $other")
   }
 
-  @transient private lazy val uniX = graft.core.Univariate1D(method)
   @transient private lazy val uniY = graft.core.Univariate1D(method)
   // reused across evaluations: window shapes are constant per kernel
   @transient private var sepTmp: Array[Double] = null
-  @transient private var sepCol: Array[Double] = null
+  // per-window cached row fits: the x-direction fits are query-independent,
+  // so an unchanged window answers each probe with evaluations + ONE
+  // y-direction fit instead of (rows+1) fits (the q_akima_grid hot spot)
+  @transient private var sepRowFits: Array[graft.core.Univariate1D] = null
+  @transient private var sepRowOk: Array[Boolean] = null
+  private var sepFitsValid = false
 
   /** Separable application of a univariate method: fit along x for each
     * window row, then along y (`math/interpolate/bivariate/spline.hpp`
@@ -294,16 +313,29 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
   private def windowedSeparable(x: Double, y: Double): Double = {
     if (!loadWindow(x, y)) return Double.NaN
     val xq = queryX(x)
-    if (sepTmp == null || sepTmp.length != cachedYs.length)
-      sepTmp = new Array[Double](cachedYs.length)
-    if (sepCol == null || sepCol.length != cachedXs.length)
-      sepCol = new Array[Double](cachedXs.length)
+    val ny = cachedYs.length
+    if (sepTmp == null || sepTmp.length != ny)
+      sepTmp = new Array[Double](ny)
+    if (!sepFitsValid) {
+      if (sepRowFits == null || sepRowFits.length != ny) {
+        sepRowFits = Array.fill(ny)(graft.core.Univariate1D(method))
+        sepRowOk = new Array[Boolean](ny)
+      }
+      var j = 0
+      while (j < ny) {
+        // fresh slice per row: fit() retains the array reference
+        val colv = new Array[Double](cachedXs.length)
+        var i = 0
+        while (i < cachedXs.length) { colv(i) = cachedZ(i)(j); i += 1 }
+        sepRowOk(j) = sepRowFits(j).fit(cachedXs, colv)
+        j += 1
+      }
+      sepFitsValid = true
+    }
     var j = 0
-    while (j < cachedYs.length) {
-      var i = 0
-      while (i < cachedXs.length) { sepCol(i) = cachedZ(i)(j); i += 1 }
-      if (!uniX.fit(cachedXs, sepCol)) return Double.NaN
-      sepTmp(j) = uniX.value(xq)
+    while (j < ny) {
+      if (!sepRowOk(j)) return Double.NaN
+      sepTmp(j) = sepRowFits(j).value(xq)
       j += 1
     }
     if (!uniY.fit(cachedYs, sepTmp)) return Double.NaN
@@ -374,6 +406,7 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
     cachedYs = ys
     cachedZ = z
     cachedBicubic = null
+    sepFitsValid = false
     true
   }
 

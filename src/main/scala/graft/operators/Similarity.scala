@@ -1,17 +1,25 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over `Array[Float]` columns.
   *
   *  - `cosine` / `dot`: pure higher-order-function expressions
   *    (`zip_with` + `aggregate`), fully codegen-compatible.
-  *  - `bruteForceTopK`: exact baseline — join + per-query top-k window.
-  *  - `lshTopK`: scale path — sign-random-projection (hyperplane LSH)
-  *    buckets both sides, exact cosine within bucket only; hyperplanes
-  *    are derived deterministically from a seed (no external state) so
-  *    any executor computes identical buckets.
+  *  - `bruteForceTopK`: exact baseline — broadcast join + per-query
+  *    top-k window.
+  *  - `lshTopK`: scale path — multi-table sign-random-projection
+  *    (hyperplane LSH). The hyperplane matrix is a CONSTANT generated
+  *    driver-side (splitmix64) and embedded as literal arrays, so
+  *    bucketing is one codegen'd dot product per plane — not a hash call
+  *    per (plane × dim × row). Multiple tables union their candidate
+  *    sets, trading a small constant factor for recall.
+  *  - `cosineNearDupPairs`: banded LSH (bands × planesPerBand sign
+  *    bits); a pair is a candidate when ANY band bucket matches —
+  *    the same recall shape as MinHash LSH, so near-identical vectors
+  *    are found with probability → 1 while the per-bucket pair count
+  *    stays sub-quadratic.
   */
 object Similarity {
 
@@ -43,39 +51,66 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): a zero-mean double derived from xxhash64 — computed as a
-    * column expression so bucketing runs inside codegen.
-    */
-  private def planeComponent(p: Int, d: Column, seed: Long): Column =
-    (xxhash64(concat_ws(":", lit(seed), lit(p), d)).cast("double") /
-      lit(Long.MaxValue.toDouble))
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
-  /** LSH bucket id: `planes` sign bits of hyperplane projections. */
-  def lshBucket(embedding: Column, planes: Int, seed: Long = 42L): Column = {
-    val dims = sequence(lit(0), size(embedding) - 1)
+  /** Deterministic constant hyperplane matrix: `planes` rows of `dims`
+    * zero-mean components in [-1, 1]. Evaluated ONCE on the driver; the
+    * per-row work is plain arithmetic inside whole-stage codegen.
+    */
+  private[operators] def planeMatrix(planes: Int, dims: Int,
+      seed: Long): Array[Array[Double]] =
+    Array.tabulate(planes, dims) { (p, d) =>
+      splitmix64(seed * 1000003L + p.toLong * 65537L + d).toDouble /
+        Long.MaxValue.toDouble
+    }
+
+  /** LSH bucket id from the sign bits of `planes` constant-hyperplane
+    * projections.
+    */
+  def lshBucket(embedding: Column, planes: Int, dims: Int,
+                seed: Long = 42L): Column = {
+    val m = planeMatrix(planes, dims, seed)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(embedding.cast("array<double>"), dims,
-          (x, d) => x * planeComponent(p, d, seed)),
+        zip_with(embedding.cast("array<double>"), typedLit(m(p).toSeq),
+          (x, h) => x * h),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket
-    * (single equi-join, shuffle keyed by bucket), exact cosine + window
-    * top-k inside the bucket. `planes` trades recall vs bucket size.
+  private def dimsOf(df: DataFrame): Int =
+    df.select(size(col("embedding"))).head.getInt(0)
+
+  /** Approximate top-k with `tables` independent hyperplane tables:
+    * candidates = union over tables of same-bucket items (distinct
+    * (qid, id) BEFORE the exact-cosine join, so each candidate is scored
+    * once), then exact cosine + per-query top-k. More tables → higher
+    * recall at linearly more candidate-join traffic; 2^planes buckets
+    * per table bounds bucket size.
     */
   def lshTopK(items: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              tables: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bi = items.select(col("id"), col("embedding").as("ie"),
-      lshBucket(col("embedding"), planes, seed).as("bucket"))
-    val bq = queries.select(col("qid"), col("embedding").as("qe"),
-      lshBucket(col("embedding"), planes, seed).as("bucket"))
-    val joined = bq.join(bi, Seq("bucket"))
+    val dims = dimsOf(items)
+    def bucketed(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("embedding"), planes, dims, seed + t * 7919L)): _*))
+          .as(Seq("tbl", "bucket")))
+    val bi = bucketed(items, "id")
+    val bq = bucketed(queries, "qid")
+    val candidates = bq.join(bi, Seq("tbl", "bucket"))
+      .select("qid", "id").distinct()
+    val joined = candidates
+      .join(queries.select(col("qid"), col("embedding").as("qe")), "qid")
+      .join(items.select(col("id"), col("embedding").as("ie")), "id")
       .select(col("qid"), col("id"),
         cosine(col("qe").cast("array<double>"),
           col("ie").cast("array<double>")).as("cosine"))
@@ -85,23 +120,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold` (bucketed:
-    * only intra-bucket pairs are compared).
+  /** Embedding-cosine near-duplicate pairs above `threshold`, banded LSH
+    * candidates (any shared band bucket), exact cosine verify. Output
+    * (id_a, id_b) with id_a < id_b.
     */
   def cosineNearDupPairs(items: DataFrame, threshold: Double,
-                         planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val b = items.select(col("id"), col("embedding"),
-      lshBucket(col("embedding"), planes, seed).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"),
-      col("embedding").as("ea"))
-    val r = b.select(col("bucket"), col("id").as("id_b"),
-      col("embedding").as("eb"))
-    l.join(r, Seq("bucket"))
+                         planesPerBand: Int = 8, bands: Int = 4,
+                         seed: Long = 42L): DataFrame = {
+    val dims = dimsOf(items)
+    val banded = items.select(col("id"), col("embedding"),
+      posexplode(array((0 until bands).map(b =>
+        lshBucket(col("embedding"), planesPerBand, dims,
+          seed + b * 104729L)): _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(items.select(col("id").as("id_a"), col("embedding").as("ea")),
+        "id_a")
+      .join(items.select(col("id").as("id_b"), col("embedding").as("eb")),
+        "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("ea").cast("array<double>"),
           col("eb").cast("array<double>")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
+      .select("id_a", "id_b")
   }
 }
