@@ -273,6 +273,27 @@ object SparkEntry {
       GridInterpolator.bivariate(s, probe, "x", "y", g, "bilinear")
         .select(col("o_orderkey"), col("value").as("interp"))
     }),
+    "q_bicubic_nodes" -> ((s, dir) => {
+      // node fidelity: windowed bicubic AT grid nodes returns the node
+      // value exactly; the integer-valued grid gives a closed SQL oracle
+      val orders = s.read.parquet(t(dir, "orders"))
+      val g = SparkEntry.syntheticGrid41
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
+    "q_akima_nodes" -> ((s, dir) => {
+      // same node-fidelity contract for the separable akima path
+      val orders = s.read.parquet(t(dir, "orders"))
+      val g = SparkEntry.syntheticGrid41
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "akima")
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
     "q_bicubic_grid" -> ((s, dir) => {
       // bicubic values have no SQL closed form -> rows-only check
       val orders = s.read.parquet(t(dir, "orders"))
@@ -520,7 +541,9 @@ object SparkEntry {
         }
         val filled = graft.core.Fill.loess(vals, size, size, 3, 3, "undefined")
         filled.zipWithIndex.iterator.map { case (v, k) =>
-          (n, k / size, k % size, v)
+          // round 6 (half-up like SQL round; values are positive): the
+          // oracle re-sums the 7x7 tricube stencil in a different order
+          (n, k / size, k % size, math.floor(v * 1e6 + 0.5) / 1e6)
         }
       }.toDF("n", "i", "j", "filled")
     }),
@@ -537,18 +560,25 @@ object SparkEntry {
             (i + 2.0 * j + n).toDouble
           else Double.NaN
         }
-        val (filled, iters, residual) = graft.core.Fill.gaussSeidel(
+        val (filled, _, _) = graft.core.Fill.gaussSeidel(
           vals, size, size, maxIterations = 2000, epsilon = 1e-8)
-        (n, iters, math.round(filled(8 * size + 8) * 1000) / 1000.0)
-      }.toDF("n", "iterations", "center")
+        // the boundary i + 2j + n is harmonic, so the converged interior
+        // is exactly that plane: center (8,8) -> 24 + n (the oracle)
+        (n, math.round(filled(8 * size + 8) * 1000) / 1000.0)
+      }.toDF("n", "center")
     }),
     "q_kriging" -> ((s, dir) => {
-      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") <= 400)
+      // DISTINCT lattice points (duplicate build coordinates make the
+      // covariance matrix singular -> NaN) carrying the linear field
+      // x + y; universal kriging with linear drift reproduces any linear
+      // field exactly, which is the oracle
+      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") < 400)
       val supp = s.read.parquet(t(dir, "supplier"))
       val build = part.select(
         (col("p_partkey") % 20).cast("double").as("x"),
-        (col("p_partkey") * 13 % 20).cast("double").as("y"),
-        ((col("p_partkey") % 20) + (col("p_partkey") * 13 % 20)).cast("double")
+        floor(col("p_partkey") / 20).cast("int").mod(20).cast("double").as("y"),
+        ((col("p_partkey") % 20).cast("double") +
+          floor(col("p_partkey") / 20).cast("int").mod(20).cast("double"))
           .as("value"),
         col("p_partkey").as("id"))
       val probe = supp.select(col("s_suppkey").as("qid"),
@@ -565,17 +595,22 @@ object SparkEntry {
           col("neighbors"))
     }),
     "q_rbf" -> ((s, dir) => {
-      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") <= 400)
+      // same distinct lattice; probes sit ON build nodes, where RBF
+      // interpolation is exact by construction — the oracle is the node
+      // value x + y
+      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") < 400)
       val supp = s.read.parquet(t(dir, "supplier"))
       val build = part.select(
         (col("p_partkey") % 20).cast("double").as("x"),
-        (col("p_partkey") * 13 % 20).cast("double").as("y"),
-        ((col("p_partkey") % 20) + (col("p_partkey") * 13 % 20)).cast("double")
+        floor(col("p_partkey") / 20).cast("int").mod(20).cast("double").as("y"),
+        ((col("p_partkey") % 20).cast("double") +
+          floor(col("p_partkey") / 20).cast("int").mod(20).cast("double"))
           .as("value"),
         col("p_partkey").as("id"))
       val probe = supp.select(col("s_suppkey").as("qid"),
-        ((col("s_suppkey") % 15).cast("double") + 0.5).as("x"),
-        ((col("s_suppkey") * 3 % 15).cast("double") + 0.5).as("y"))
+        (col("s_suppkey") % 20).cast("double").as("x"),
+        floor(col("s_suppkey") / 20).cast("int").mod(20).cast("double")
+          .as("y"))
       KnnJoin.rbf(s, build, probe,
         KnnJoin.Config(k = 16, geodetic = false, broadcastThreshold = 0L,
           precision = 8),
@@ -584,7 +619,7 @@ object SparkEntry {
           col("neighbors"))
     }),
     "q_optimal_interpolation" -> ((s, dir) => {
-      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") <= 400)
+      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") < 400)
       val supp = s.read.parquet(t(dir, "supplier"))
       val build = part.select(
         (col("p_partkey") % 20).cast("double").as("x"),
@@ -677,6 +712,89 @@ object SparkEntry {
          |""".stripMargin.replace("\n", "")
 
     Map(
+      // linear binning with constant fractional offsets (t=0.25, u=0.75,
+      // exact binary fractions): the 4-bin spread has a closed unpivot form
+      "q_binning2d_linear" ->
+        """WITH pts AS (SELECT CAST(l_partkey % 29 AS INT) AS ix0,
+          |  CAST(l_suppkey % 29 AS INT) AS iy0, l_quantity AS z
+          |  FROM lineitem),
+          | c AS (SELECT ix0 + d.dx AS ix, iy0 + d.dy AS iy,
+          |   CAST(d.w AS DOUBLE) AS w, z
+          |  FROM pts CROSS JOIN (VALUES (0, 0, 0.1875), (0, 1, 0.5625),
+          |    (1, 1, 0.1875), (1, 0, 0.0625)) d(dx, dy, w))
+          |SELECT ix, iy, COUNT(*) AS cnt, round(SUM(w), 6) AS sum_w,
+          | round(SUM(w * z), 6) AS sum_wz
+          |FROM c GROUP BY ix, iy""".stripMargin.replace("\n", " "),
+
+      // the boundary field i + 2j + n is harmonic: the converged interior
+      // equals that plane, so center (8,8) = 8 + 16 + n
+      "q_fill_gauss_seidel" ->
+        """SELECT n_nationkey AS n,
+          | CAST(24 + n_nationkey AS DOUBLE) AS center
+          |FROM nation""".stripMargin.replace("\n", " "),
+
+      // one LOESS pass mirrored exactly: 7x7 clamped window, tricube of
+      // the normalized offset, defined cells pass through
+      "q_fill_loess" ->
+        """WITH cells AS (SELECT n.n_nationkey AS n,
+          |  CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j
+          |  FROM nation n, range(0, 12) i, range(0, 12) j),
+          | grid AS (SELECT n, i, j,
+          |  CASE WHEN (i * j + n) % 13 = 0 THEN NULL
+          |   ELSE CAST((i * 31 + j * 17 + n) % 97 AS DOUBLE) END AS z
+          |  FROM cells),
+          | stencil AS (SELECT g.n, g.i, g.j,
+          |   GREATEST(0, LEAST(11, g.i + CAST(oi.range AS INT))) AS wi,
+          |   GREATEST(0, LEAST(11, g.j + CAST(oj.range AS INT))) AS wj
+          |  FROM grid g, range(-3, 4) oi, range(-3, 4) oj
+          |  WHERE g.z IS NULL),
+          | contrib AS (SELECT s.n, s.i, s.j, g2.z,
+          |   sqrt(((s.wi - s.i) * (1.0/3)) * ((s.wi - s.i) * (1.0/3)) +
+          |        ((s.wj - s.j) * (1.0/3)) * ((s.wj - s.j) * (1.0/3))) AS d
+          |  FROM stencil s JOIN grid g2
+          |   ON g2.n = s.n AND g2.i = s.wi AND g2.j = s.wj
+          |  WHERE g2.z IS NOT NULL),
+          | wsum AS (SELECT n, i, j,
+          |   SUM(CASE WHEN d > 1.0 THEN 0.0 ELSE
+          |     (1 - d*d*d) * (1 - d*d*d) * (1 - d*d*d) END) AS sw,
+          |   SUM(CASE WHEN d > 1.0 THEN 0.0 ELSE
+          |     (1 - d*d*d) * (1 - d*d*d) * (1 - d*d*d) END * z) AS swz
+          |  FROM contrib GROUP BY n, i, j)
+          |SELECT n, i, j, round(z, 6) AS filled FROM grid WHERE z IS NOT NULL
+          |UNION ALL
+          |SELECT n, i, j, round(swz / sw, 6) AS filled FROM wsum"""
+          .stripMargin.replace("\n", " "),
+
+      // universal kriging with linear drift reproduces the linear field
+      // x + y exactly at any probe point
+      "q_kriging" ->
+        """SELECT s_suppkey AS qid,
+          | round((s_suppkey % 15 + 0.5) + (s_suppkey * 3 % 15 + 0.5), 4)
+          |   AS kriged,
+          | CAST(16 AS INT) AS neighbors
+          |FROM supplier""".stripMargin.replace("\n", " "),
+
+      // RBF interpolation is exact at build nodes; probes are nodes
+      "q_rbf" ->
+        """SELECT s_suppkey AS qid,
+          | round(CAST(s_suppkey % 20 + (s_suppkey // 20) % 20 AS DOUBLE), 4)
+          |   AS rbf_value,
+          | CAST(16 AS INT) AS neighbors
+          |FROM supplier""".stripMargin.replace("\n", " "),
+
+      // interpolants pass through grid nodes: value = grid formula
+      "q_bicubic_nodes" ->
+        """SELECT o_orderkey,
+          | round(CAST(((o_orderkey % 34 + 3) * 31 + (o_orderkey * 7 % 34 + 3) * 17)
+          |   % 97 AS DOUBLE), 9) AS interp
+          |FROM orders""".stripMargin.replace("\n", " "),
+
+      "q_akima_nodes" ->
+        """SELECT o_orderkey,
+          | round(CAST(((o_orderkey % 34 + 3) * 31 + (o_orderkey * 7 % 34 + 3) * 17)
+          |   % 97 AS DOUBLE), 9) AS interp
+          |FROM orders""".stripMargin.replace("\n", " "),
+
       "q_binning2d_simple" ->
         """WITH src AS (SELECT
           |  LEAST(GREATEST(CAST(round((CAST(l_partkey % 30 AS DOUBLE) + 0.2 - 0.0) / 1.0) AS INT), 0), 29) AS ix,
