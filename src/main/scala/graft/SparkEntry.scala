@@ -85,6 +85,41 @@ object SparkEntry {
        |SELECT id_a, id_b, round(jac, 9) AS jac FROM pairs
        |WHERE jac >= $threshold""".stripMargin.replace("\n", " ")
 
+  /** Merged-period CTE chain over a (user_id, ts, te) source query: the
+    * SQL mirror of [[graft.operators.Periods.merge]] (gap 0). Emits CTEs
+    * named `<tag>m/<tag>g/<tag>s/<tag>per`; the final one has
+    * (user_id, p_start, p_end, n).
+    */
+  def mergedPeriodsSql(src: String, tag: String): String =
+    s"""${tag}_m AS (SELECT user_id, ts, te,
+       | MAX(te) OVER (PARTITION BY user_id ORDER BY ts, te
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       | FROM ($src)),
+       |${tag}_g AS (SELECT user_id, ts, te,
+       | CASE WHEN prev_max IS NULL OR ts > prev_max THEN 1 ELSE 0 END
+       |  AS new_grp FROM ${tag}_m),
+       |${tag}_s AS (SELECT user_id, ts, te,
+       | CAST(SUM(new_grp) OVER (PARTITION BY user_id ORDER BY ts, te
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |  AS grp FROM ${tag}_g),
+       |${tag}_per AS (SELECT user_id, MIN(ts) AS p_start, MAX(te) AS p_end,
+       | COUNT(*) AS n FROM ${tag}_s GROUP BY user_id, grp)"""
+      .stripMargin.replace("\n", " ")
+
+  /** SQL mirror of the authalic q(lat) used by geographic binning weights
+    * and the exact rectangle area (same nesting as the Column/Scala
+    * versions; constants printed at full double precision).
+    */
+  def qLatSql(latExpr: String): String = {
+    val sph = graft.core.Spheroid.Wgs84
+    val e2 = sph.e2
+    val e = math.sqrt(e2)
+    val twoE = 2.0 * e
+    s"(sin(radians($latExpr)) / (1.0 - $e2 * sin(radians($latExpr)) * " +
+      s"sin(radians($latExpr))) + ln((1.0 + $e * sin(radians($latExpr))) / " +
+      s"(1.0 - $e * sin(radians($latExpr)))) / $twoE)"
+  }
+
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val images = graft.pipeline.ImageTableGen.generate(spark, 64, 16)
@@ -315,24 +350,111 @@ object SparkEntry {
     }),
     "q_period_merge" -> ((s, dir) => {
       // PeriodList.merge: coalesce [ts, ts+10min] intervals per user
-      import org.apache.spark.sql.expressions.Window
       val ev = s.read.parquet(t(dir, "events"))
-      val w = Window.partitionBy("user_id").orderBy("ts")
       val withEnd = ev.select(col("user_id"), col("ts"),
         (col("ts") + expr("INTERVAL 10 MINUTES")).as("te"))
-      val marked = withEnd
-        .withColumn("prev_max", max(col("te"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("new_grp",
-          when(col("prev_max").isNull || col("ts") > col("prev_max"), 1)
-            .otherwise(0))
-        .withColumn("grp", sum(col("new_grp"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      marked.groupBy(col("user_id"), col("grp"))
-        .agg(min(col("ts")).as("p_start"), max(col("te")).as("p_end"),
-          count(lit(1)).as("n_events"))
+      Periods.merge(withEnd, Seq("user_id"), "ts", "te")
         .select(col("user_id"), col("p_start"), col("p_end"),
-          col("n_events"))
+          col("n_merged").as("n_events"))
+    }),
+    "q_period_intersect" -> ((s, dir) => {
+      // Period::intersection over two per-user period tables (click-ish
+      // vs view-ish event halves)
+      val ev = s.read.parquet(t(dir, "events"))
+      def half(parity: Int) = Periods.merge(
+        ev.filter(col("event_id") % 2 === parity)
+          .select(col("user_id"), col("ts"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("te")),
+        Seq("user_id"), "ts", "te")
+        .select(col("user_id"), col("p_start"), col("p_end"))
+      Periods.intersection(half(0), half(1), Seq("user_id"))
+    }),
+    "q_period_contains" -> ((s, dir) => {
+      // find_containing: error-event dates against merged periods of the
+      // user's non-error events
+      val ev = s.read.parquet(t(dir, "events"))
+      val periods = Periods.merge(
+        ev.filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("ts"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("te")),
+        Seq("user_id"), "ts", "te")
+        .select(col("user_id"), col("p_start"), col("p_end"))
+      val dates = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("date"))
+      Periods.containing(dates, periods, Seq("user_id"), "date")
+        .select(col("user_id"), col("date"), col("p_start"), col("p_end"))
+    }),
+    "q_period_cross" -> ((s, dir) => {
+      // cross_a_period + belong_to_a_period flags for error-event dates
+      val ev = s.read.parquet(t(dir, "events"))
+      val periods = Periods.merge(
+        ev.filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("ts"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("te")),
+        Seq("user_id"), "ts", "te")
+        .select(col("user_id"), col("p_start"), col("p_end"))
+      val dates = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("date"))
+      val crosses = Periods.crossAPeriod(dates, periods, Seq("user_id"),
+        "date")
+      val belongs = Periods.belongToAPeriod(dates, periods, Seq("user_id"),
+        "date")
+      crosses.join(belongs, Seq("user_id", "date"))
+        .select(col("user_id"), col("date"),
+          col("crosses").cast("int").as("crosses"),
+          col("belongs").cast("int").as("belongs"))
+    }),
+    "q_period_duration" -> ((s, dir) => {
+      // PeriodList::duration (covered) vs aggregate_duration per user
+      val ev = s.read.parquet(t(dir, "events"))
+      val raw = ev.select(col("user_id"), col("ts"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("te"))
+      Periods.coveredDuration(raw, Seq("user_id"), "ts", "te")
+    }),
+
+    // ======== geodesic strategy family (§2.2/§2.7 spheroid ops) ========
+    "q_geodesic_distance" -> ((s, dir) => {
+      // Andoyer/Thomas/Vincenty mirrored term-by-term by the SQL oracle
+      // (vincenty at a FIXED 8 unrolled iterations on both sides); karney
+      // = converged robust path, so it is oracled at metre rounding
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val pairs = supp.select(col("s_suppkey").as("id"),
+        ((col("s_suppkey") % 60).cast("double") - 30.0).as("lon1"),
+        ((col("s_suppkey") * 3 % 120).cast("double") / 2.0 - 30.0).as("lat1"),
+        ((col("s_suppkey") % 60).cast("double") + 40.0).as("lon2"),
+        ((col("s_suppkey") * 7 % 120).cast("double") / 2.0 - 25.0).as("lat2"))
+      GeodesicOps.inverse(s, pairs, "id", "lon1", "lat1", "lon2", "lat2",
+          vincentyFixedIterations = 8)
+        .select(col("id"), round(col("dist_andoyer"), 2).as("d_andoyer"),
+          round(col("dist_thomas"), 2).as("d_thomas"),
+          round(col("dist_vincenty"), 2).as("d_vincenty"),
+          round(col("dist_karney"), 0).as("d_karney_m"))
+    }),
+    "q_geodesic_area" -> ((s, dir) => {
+      // exact ellipsoidal lon/lat-rectangle area (geohash cell area)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val boxes = supp.select(col("s_suppkey").as("id"),
+        ((col("s_suppkey") % 36).cast("double") * 10.0 - 180.0).as("lon0"),
+        ((col("s_suppkey") % 17).cast("double") * 10.0 - 85.0).as("lat0"))
+        .withColumn("lon1", col("lon0") + 2.5)
+        .withColumn("lat1", col("lat0") + 2.0)
+      GeodesicOps.rectangleArea(s, boxes, "id", "lon0", "lat0", "lon1",
+          "lat1")
+        .select(col("id"),
+          round(col("area_m2") / 1e6, 4).as("area_km2"))
+    }),
+    "q_binning2d_geodesic" -> ((s, dir) => {
+      // geographic (spheroid-area) linear binning weights — the wgs
+      // branch of the reference binning (`pybind/binning.hpp:88-94`)
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val ax = Axis.regular(0.0, 29.0, 30)
+      new Binning2D(ax, ax).linearGeographic(li,
+        (col("l_partkey") % 29).cast("double") + 0.25,
+        (col("l_suppkey") % 29).cast("double") + 0.75,
+        col("l_quantity"))
+        .select(col("ix"), col("iy"), col("count").as("cnt"),
+          round(col("sum_of_weights"), 6).as("sum_w"),
+          round(col("sum"), 6).as("sum_wz"))
     }),
     "q_track_decompose" -> ((s, dir) => {
       // pass/segment decomposition: break when gap > 1h
@@ -794,6 +916,120 @@ object SparkEntry {
           | round(CAST(((o_orderkey % 34 + 3) * 31 + (o_orderkey * 7 % 34 + 3) * 17)
           |   % 97 AS DOUBLE), 9) AS interp
           |FROM orders""".stripMargin.replace("\n", " "),
+
+      "q_period_intersect" -> {
+        val a = mergedPeriodsSql("SELECT user_id, ts, " +
+          "ts + INTERVAL 10 MINUTE AS te FROM events WHERE event_id % 2 = 0",
+          "a")
+        val b = mergedPeriodsSql("SELECT user_id, ts, " +
+          "ts + INTERVAL 10 MINUTE AS te FROM events WHERE event_id % 2 = 1",
+          "b")
+        s"""WITH $a, $b
+           |SELECT a.user_id,
+           | GREATEST(a.p_start, b.p_start) AS p_start,
+           | LEAST(a.p_end, b.p_end) AS p_end
+           |FROM a_per a JOIN b_per b ON a.user_id = b.user_id
+           |WHERE GREATEST(a.p_start, b.p_start) < LEAST(a.p_end, b.p_end)"""
+          .stripMargin.replace("\n", " ")
+      },
+
+      "q_period_contains" -> {
+        val p = mergedPeriodsSql("SELECT user_id, ts, " +
+          "ts + INTERVAL 5 MINUTE AS te FROM events WHERE event_type <> 'error'",
+          "p")
+        s"""WITH $p
+           |SELECT d.user_id, d.ts AS date, p.p_start, p.p_end
+           |FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') d
+           |JOIN p_per p ON p.user_id = d.user_id
+           |WHERE d.ts >= p.p_start AND d.ts < p.p_end"""
+          .stripMargin.replace("\n", " ")
+      },
+
+      "q_period_cross" -> {
+        val p = mergedPeriodsSql("SELECT user_id, ts, " +
+          "ts + INTERVAL 5 MINUTE AS te FROM events WHERE event_type <> 'error'",
+          "p")
+        s"""WITH $p,
+           | d AS (SELECT user_id, ts AS date FROM events
+           |  WHERE event_type = 'error'),
+           | dl AS (SELECT user_id, date,
+           |  MAX(date) OVER (PARTITION BY user_id) AS lastd FROM d),
+           | j AS (SELECT dl.user_id, dl.date,
+           |  CASE WHEN dl.date >= p.p_start AND dl.date < p.p_end
+           |   THEN 1 ELSE 0 END AS inside,
+           |  CASE WHEN p.p_start >= dl.date AND p.p_start <= dl.lastd
+           |   THEN 1 ELSE 0 END AS ahead
+           |  FROM dl JOIN p_per p ON p.user_id = dl.user_id)
+           |SELECT user_id, date,
+           | CAST(MAX(inside) = 1 OR MAX(ahead) = 1 AS INT) AS crosses,
+           | CAST(MAX(inside) = 1 AS INT) AS belongs
+           |FROM j GROUP BY user_id, date"""
+          .stripMargin.replace("\n", " ")
+      },
+
+      "q_period_duration" -> {
+        val p = mergedPeriodsSql("SELECT user_id, ts, " +
+          "ts + INTERVAL 10 MINUTE AS te FROM events", "p")
+        s"""WITH $p,
+           | cov AS (SELECT user_id,
+           |  CAST(SUM(epoch_us(p_end) - epoch_us(p_start)) AS BIGINT)
+           |   AS covered_us FROM p_per GROUP BY user_id),
+           | agg AS (SELECT user_id,
+           |  CAST(SUM(epoch_us(ts + INTERVAL 10 MINUTE) - epoch_us(ts))
+           |   AS BIGINT) AS aggregate_us FROM events GROUP BY user_id)
+           |SELECT cov.user_id, covered_us, aggregate_us
+           |FROM cov JOIN agg ON cov.user_id = agg.user_id"""
+          .stripMargin.replace("\n", " ")
+      },
+
+      "q_geodesic_distance" -> {
+        val lon1 = "(CAST(s_suppkey % 60 AS DOUBLE) - 30.0)"
+        val lat1 = "(CAST(s_suppkey * 3 % 120 AS DOUBLE) / 2.0 - 30.0)"
+        val lon2 = "(CAST(s_suppkey % 60 AS DOUBLE) + 40.0)"
+        val lat2 = "(CAST(s_suppkey * 7 % 120 AS DOUBLE) / 2.0 - 25.0)"
+        val vin = graft.operators.GeodesicOps.vincentySql(lon1, lat1, lon2,
+          lat2, iterations = 8)
+        val and = graft.operators.GeodesicOps.andoyerSql(lon1, lat1, lon2,
+          lat2)
+        val tho = graft.operators.GeodesicOps.thomasSql(lon1, lat1, lon2,
+          lat2)
+        s"""SELECT s_suppkey AS id,
+           | round($and, 2) AS d_andoyer,
+           | round($tho, 2) AS d_thomas,
+           | round($vin, 2) AS d_vincenty,
+           | round($vin, 0) AS d_karney_m
+           |FROM supplier""".stripMargin.replace("\n", " ")
+      },
+
+      "q_geodesic_area" -> {
+        val sph = graft.core.Spheroid.Wgs84
+        val k = sph.a * sph.a * (1.0 - sph.e2) / 2.0
+        val lat0 = "(CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 85.0)"
+        s"""SELECT s_suppkey AS id,
+           | round(abs($k * radians(abs(2.5)) *
+           |  (${qLatSql(s"$lat0 + 2.0")} - ${qLatSql(lat0)})) / 1e6, 4)
+           |   AS area_km2
+           |FROM supplier""".stripMargin.replace("\n", " ")
+      },
+
+      "q_binning2d_geodesic" -> {
+        val qy = qLatSql("(CAST(l_suppkey % 29 AS DOUBLE) + 0.75)")
+        val qy0 = qLatSql("(0.0 + CAST(CAST(l_suppkey % 29 AS INT) AS DOUBLE) * 1.0)")
+        val qy1 = qLatSql("(0.0 + CAST(CAST(l_suppkey % 29 AS INT) AS DOUBLE) * 1.0 + 1.0)")
+        s"""WITH pts AS (SELECT CAST(l_partkey % 29 AS INT) AS ix0,
+           |  CAST(l_suppkey % 29 AS INT) AS iy0, l_quantity AS z,
+           |  ($qy - $qy0) / ($qy1 - $qy0) AS u
+           |  FROM lineitem),
+           | c AS (SELECT ix0 + d.dx AS ix, iy0 + d.dy AS iy, z,
+           |   CASE d.k WHEN 0 THEN 0.75 * (1.0 - u)
+           |    WHEN 1 THEN 0.75 * u WHEN 2 THEN 0.25 * u
+           |    ELSE 0.25 * (1.0 - u) END AS w
+           |  FROM pts CROSS JOIN (VALUES (0, 0, 0, 0), (1, 0, 1, 0),
+           |    (2, 1, 1, 0), (3, 1, 0, 0)) d(k, dx, dy, pad))
+           |SELECT ix, iy, COUNT(*) AS cnt, round(SUM(w), 6) AS sum_w,
+           | round(SUM(w * z), 6) AS sum_wz
+           |FROM c GROUP BY ix, iy""".stripMargin.replace("\n", " ")
+      },
 
       "q_binning2d_simple" ->
         """WITH src AS (SELECT

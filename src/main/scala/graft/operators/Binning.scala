@@ -161,6 +161,70 @@ final class Binning2D(xAxis: Axis, yAxis: Axis) extends Serializable {
         (lit(yAxis.front) + col("iy") * lit(yAxis.step)).as("y")) ++
         BinningColumns.statsColumns(col("stats")): _*)
   }
+
+  /** Geographic (spheroid) linear binning — the reference's wgs branch
+    * (`pybind/binning.hpp:88-94`, `bilinear_weights.hpp:87-146`): weights
+    * are geodesic sub-rectangle areas of the cell around the sample. The
+    * exact ellipsoidal lat/lon-rectangle area separates into a product of
+    * 1-D ratios (longitude is linear; latitude enters through the
+    * authalic q-function), so the whole thing stays one codegen'd
+    * 4-struct explode — the area ratios are computed per row with NO
+    * solver. x = longitude axis, y = latitude axis (degrees).
+    */
+  def linearGeographic(df: DataFrame, x: Column, y: Column, z: Column,
+                       spheroid: graft.core.Spheroid =
+                         graft.core.Spheroid.Wgs84): DataFrame = {
+    val e2 = spheroid.e2
+    val e = math.sqrt(e2)
+    // q(lat): the latitude part of the exact ellipsoidal rectangle area
+    def qLat(latDeg: Column): Column = {
+      val sp = sin(radians(latDeg))
+      sp / (lit(1.0) - lit(e2) * sp * sp) +
+        log((lit(1.0) + lit(e) * sp) / (lit(1.0) - lit(e) * sp)) /
+          lit(2.0 * e)
+    }
+    val xn = normalized(xAxis, x)
+    val yn = normalized(yAxis, y)
+    val ix0 = frameIndex(xAxis, x)
+    val iy0 = frameIndex(yAxis, y)
+    val x0 = lit(xAxis.front) + ix0 * lit(xAxis.step)
+    val y0 = lit(yAxis.front) + iy0 * lit(yAxis.step)
+    val y1 = y0 + lit(yAxis.step)
+    val xEff = if (xAxis.isPeriodic)
+      pmod(xn - x0, lit(xAxis.period)) + x0
+    else xn
+
+    val framed = df
+      .filter(!isnan(z) && z.isNotNull && ix0.isNotNull && iy0.isNotNull)
+      .select(z.as("z"), ix0.as("ix0"), iy0.as("iy0"),
+        ((xEff - x0) / lit(xAxis.step)).as("t"),
+        ((qLat(yn) - qLat(y0)) / (qLat(y1) - qLat(y0))).as("u"))
+
+    val ix0c = col("ix0")
+    val iy0c = col("iy0")
+    val ix1c =
+      if (xAxis.isPeriodic) pmod(ix0c + 1, lit(xAxis.size)).cast("int")
+      else (ix0c + 1)
+    val iy1c = iy0c + 1
+    val t = col("t")
+    val u = col("u")
+    val exploded = framed
+      .select(col("z"), explode(array(
+        struct(ix0c.as("ix"), iy0c.as("iy"),
+          ((lit(1) - t) * (lit(1) - u)).as("w")),
+        struct(ix0c.as("ix"), iy1c.as("iy"), ((lit(1) - t) * u).as("w")),
+        struct(ix1c.as("ix"), iy1c.as("iy"), (t * u).as("w")),
+        struct(ix1c.as("ix"), iy0c.as("iy"), (t * (lit(1) - u)).as("w"))))
+        .as("b"))
+      .filter(abs(col("b.w")) > lit(1e-12))
+    exploded
+      .groupBy(col("b.ix").as("ix"), col("b.iy").as("iy"))
+      .agg(stats_agg_fast(col("z"), col("b.w")).as("stats"))
+      .select(Seq(col("ix"), col("iy"),
+        (lit(xAxis.front) + col("ix") * lit(xAxis.step)).as("x"),
+        (lit(yAxis.front) + col("iy") * lit(yAxis.step)).as("y")) ++
+        BinningColumns.statsColumns(col("stats")): _*)
+  }
 }
 
 /** 1-D binning with optional weights and x-range filter

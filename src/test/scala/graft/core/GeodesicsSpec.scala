@@ -1,0 +1,91 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeodesicsSpec extends AnyFunSuite {
+  private val wgs = Spheroid.Wgs84
+
+  test("vincenty meridian quarter and equator quarter match WGS84 anchors") {
+    // quarter meridian (0,0)->(0,90): 10001965.729 m (WGS84 constant)
+    val m = Geodesics.vincenty(0.0, 0.0, 0.0, 90.0, wgs)
+    assert(math.abs(m.distance - 10001965.729) < 0.01, m.distance)
+    // quarter equator (0,0)->(90,0): a * pi/2 (equator is a geodesic)
+    val e = Geodesics.vincenty(0.0, 0.0, 90.0, 0.0, wgs)
+    assert(math.abs(e.distance - wgs.a * math.Pi / 2.0) < 1e-4, e.distance)
+  }
+
+  test("strategies agree within their published error classes") {
+    val pairs = for (i <- 0 until 200) yield {
+      val lon1 = (i * 37 % 340) - 170.0
+      val lat1 = (i * 13 % 160) / 2.0 - 40.0
+      val lon2 = lon1 + (i * 7 % 120) + 1.0
+      val lat2 = (i * 29 % 160) / 2.0 - 40.0
+      (lon1, lat1, lon2, lat2)
+    }
+    for ((x1, y1, x2, y2) <- pairs) {
+      val v = Geodesics.vincenty(x1, y1, x2, y2, wgs).distance
+      val k = Geodesics.karney(x1, y1, x2, y2, wgs).distance
+      val t = Geodesics.thomas(x1, y1, x2, y2, wgs).distance
+      val a = Geodesics.andoyer(x1, y1, x2, y2, wgs).distance
+      assert(math.abs(v - k) < 1e-3, s"karney $v $k at ($x1,$y1)-($x2,$y2)")
+      assert(math.abs(v - t) < 1.0, s"thomas $v $t at ($x1,$y1)-($x2,$y2)")
+      // Andoyer is first order in f: error O(f^2 * d) ~ 1.1e-5 relative
+      assert(math.abs(v - a) < math.max(10.0, 2e-5 * v),
+        s"andoyer $v $a at ($x1,$y1)-($x2,$y2)")
+    }
+  }
+
+  test("inverse is symmetric and azimuths reverse") {
+    val f = Geodesics.vincenty(2.35, 48.85, -74.0, 40.71, wgs) // Paris-NY
+    val r = Geodesics.vincenty(-74.0, 40.71, 2.35, 48.85, wgs)
+    assert(math.abs(f.distance - r.distance) < 1e-6)
+    // Paris -> New York initial bearing is roughly west-northwest (~292)
+    val az = (f.azimuth + 360.0) % 360.0
+    assert(az > 280.0 && az < 300.0, az)
+  }
+
+  test("karney stays finite and sane near the antipode") {
+    val d = Geodesics.karney(0.0, 0.0, 179.8, 0.1, wgs).distance
+    // half the equator circumference is the right scale (~2.0015e7 m)
+    assert(d > 1.99e7 && d < 2.01e7, d)
+  }
+
+  test("rectangle areas sum to the ellipsoid surface area") {
+    // whole globe as two hemispheres (q is odd in lat)
+    val total = Geodesics.rectangleArea(-180, -90, 180, 90, wgs)
+    // WGS84 surface area: 5.100656e14 m^2
+    assert(math.abs(total - 5.100656e14) / 5.100656e14 < 1e-5, total)
+    // additivity: split in lon
+    val a1 = Geodesics.rectangleArea(0, 10, 10, 20, wgs)
+    val a2 = Geodesics.rectangleArea(10, 10, 20, 20, wgs)
+    val a12 = Geodesics.rectangleArea(0, 10, 20, 20, wgs)
+    assert(math.abs(a1 + a2 - a12) / a12 < 1e-12)
+    // bands shrink toward the pole
+    assert(Geodesics.rectangleArea(0, 60, 10, 70, wgs) <
+      Geodesics.rectangleArea(0, 0, 10, 10, wgs))
+  }
+
+  test("polygon area of a lat/lon box matches the closed rectangle form") {
+    val box = IndexedSeq((0.0, 0.0), (5.0, 0.0), (5.0, 4.0), (0.0, 4.0))
+    val poly = Geodesics.polygonArea(box, wgs)
+    val rect = Geodesics.rectangleArea(0, 0, 5, 4, wgs)
+    assert(math.abs(poly - rect) / rect < 2e-3, s"$poly vs $rect")
+  }
+
+  test("geographic bilinear weights sum to 1 and recover corners") {
+    val (w00, w01, w11, w10) =
+      Geodesics.bilinearWeights(12.3, 45.6, 12.0, 45.0, 13.0, 46.0, wgs)
+    assert(math.abs(w00 + w01 + w11 + w10 - 1.0) < 1e-12)
+    // at the exact lower-left corner all weight goes to p00
+    val (c00, c01, c11, c10) =
+      Geodesics.bilinearWeights(12.0, 45.0, 12.0, 45.0, 13.0, 46.0, wgs)
+    assert(math.abs(c00 - 1.0) < 1e-12 && c01 < 1e-12 && c11 < 1e-12 &&
+      c10 < 1e-12)
+    // each corner is weighted by the OPPOSITE sub-rectangle's area; in a
+    // northern-hemisphere cell the southern halves are larger, so at the
+    // geometric midpoint the NORTH corners (w01, w11) outweigh
+    val (m00, m01, m11, m10) =
+      Geodesics.bilinearWeights(12.5, 45.5, 12.0, 45.0, 13.0, 46.0, wgs)
+    assert(m01 > m00 && m11 > m10, s"$m00 $m01 $m11 $m10")
+  }
+}
