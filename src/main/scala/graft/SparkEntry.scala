@@ -120,6 +120,38 @@ object SparkEntry {
       s"(1.0 - $e * sin(radians($latExpr)))) / $twoE)"
   }
 
+  /** Deterministic rectangle pairs for the geometry-predicate/clip
+    * queries: equal 4x4 rectangles at offsets dx, dy != 0 (the
+    * vertex-on-edge degenerate the published Greiner-Hormann excludes).
+    */
+  def rectPairs(supp: DataFrame): DataFrame = {
+    val s = col("s_suppkey")
+    val ax0 = (s % 7).cast("double")
+    val ay0 = (s * 3 % 7).cast("double")
+    val dx = ((s % 4 + 1) * (lit(1) - lit(2) * (s % 2))).cast("double")
+    val dy = ((s * 3 % 4 + 1) *
+      (lit(1) - lit(2) * (floor(s / 2).cast("long") % 2))).cast("double")
+    def rect(x0: Column, y0: Column): Column =
+      array(x0, y0, x0 + 4.0, y0, x0 + 4.0, y0 + 4.0, x0, y0 + 4.0)
+    supp.select(s.as("id"), rect(ax0, ay0).as("ring_a"),
+      rect(ax0 + dx, ay0 + dy).as("ring_b"))
+  }
+
+  /** SQL mirror of [[rectPairs]] as a WITH prefix defining `r`. */
+  def rectPairsSqlPrefix: String =
+    """WITH base AS (SELECT s_suppkey AS id,
+      |  CAST(s_suppkey % 7 AS DOUBLE) AS ax0,
+      |  CAST(s_suppkey * 3 % 7 AS DOUBLE) AS ay0,
+      |  CAST((s_suppkey % 4 + 1) * (1 - 2 * (s_suppkey % 2)) AS DOUBLE)
+      |    AS dx,
+      |  CAST((s_suppkey * 3 % 4 + 1) *
+      |    (1 - 2 * ((s_suppkey // 2) % 2)) AS DOUBLE) AS dy
+      |  FROM supplier),
+      | r AS (SELECT id, ax0, ay0, ax0 + 4.0 AS ax1, ay0 + 4.0 AS ay1,
+      |  ax0 + dx AS bx0, ay0 + dy AS by0, ax0 + dx + 4.0 AS bx1,
+      |  ay0 + dy + 4.0 AS by1 FROM base)
+      |""".stripMargin.replace("\n", " ")
+
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val images = graft.pipeline.ImageTableGen.generate(spark, 64, 16)
@@ -442,6 +474,59 @@ object SparkEntry {
           "lat1")
         .select(col("id"),
           round(col("area_m2") / 1e6, 4).as("area_km2"))
+    }),
+    // ======== geometry algorithm family (§2.2/§2.9) ========
+    "q_convex_hull" -> ((s, dir) => {
+      // per-user hull over interior noise points plus 4 planted corner
+      // points at a user-dependent scale: hull = exactly those corners
+      val ev = s.read.parquet(t(dir, "events"))
+      val interior = ev.select(col("user_id"),
+        ((col("event_id") * 7 % 8) + 1).cast("double").as("x"),
+        ((col("event_id") * 11 % 8) + 1).cast("double").as("y"))
+      val scale = (col("user_id") % 5 + 9).cast("double")
+      val corners = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(array(
+          struct(lit(0.0).as("x"), lit(0.0).as("y")),
+          struct(scale.as("x"), lit(0.0).as("y")),
+          struct(scale.as("x"), scale.as("y")),
+          struct(lit(0.0).as("x"), scale.as("y")))).as("p"))
+        .select(col("user_id"), col("p.x"), col("p.y"))
+      GeometryOps.hullPerKey(s, interior.unionAll(corners), "user_id",
+        "x", "y")
+    }),
+    "q_geom_predicates" -> ((s, dir) => {
+      // general polygon predicates exercised on the rectangle subclass,
+      // where DuckDB interval logic is the exact oracle
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val r = SparkEntry.rectPairs(supp)
+      GeometryOps.predicatePairs(s, r, "id", "ring_a", "ring_b")
+        .select(col("id"), col("intersects").cast("int").as("inter"),
+          col("touches").cast("int").as("touch"),
+          col("overlaps").cast("int").as("overlap"),
+          col("contains_ab").cast("int").as("cont_ab"),
+          col("equals_ab").cast("int").as("eq_ab"))
+    }),
+    "q_polygon_clip" -> ((s, dir) => {
+      // Greiner-Hormann union/intersection/difference vs the closed
+      // rectangle-overlap form
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val r = SparkEntry.rectPairs(supp)
+      GeometryOps.clipAreas(s, r, "id", "ring_a", "ring_b")
+        .select(col("id"), round(col("inter_area"), 6).as("inter_area"),
+          round(col("union_area"), 6).as("union_area"),
+          round(col("diff_area"), 6).as("diff_area"))
+    }),
+    "q_line_metrics" -> ((s, dir) => {
+      // simplify / densify / line_interpolate / length on per-supplier
+      // L-shaped polylines with closed-form expectations
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val el = (col("s_suppkey") % 5 + 4).cast("double")
+      val lines = supp.select(col("s_suppkey").as("id"),
+        array(lit(0.0), lit(0.0), el, lit(0.0), el, el).as("line"))
+      GeometryOps.lineMetrics(s, lines, "id", "line", tolerance = 0.5,
+          maxLength = 3.0, fraction = 0.5)
+        .select(col("id"), col("n_simplified"), col("n_densified"),
+          col("interp_x"), col("interp_y"), col("line_len"))
     }),
     "q_binning2d_geodesic" -> ((s, dir) => {
       // geographic (spheroid-area) linear binning weights — the wgs
@@ -1030,6 +1115,46 @@ object SparkEntry {
            | round(SUM(w * z), 6) AS sum_wz
            |FROM c GROUP BY ix, iy""".stripMargin.replace("\n", " ")
       },
+
+      "q_convex_hull" ->
+        """SELECT DISTINCT user_id, 4 AS n_hull,
+          | CAST((9 + user_id % 5) * (9 + user_id % 5) AS DOUBLE)
+          |   AS hull_area
+          |FROM events""".stripMargin.replace("\n", " "),
+
+      "q_geom_predicates" -> (SparkEntry.rectPairsSqlPrefix +
+        """SELECT id,
+          | CAST(ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1
+          |   AS INT) AS inter,
+          | CAST((ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1)
+          |   AND NOT (ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1)
+          |   AS INT) AS touch,
+          | CAST(ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1
+          |   AS INT) AS overlap,
+          | 0 AS cont_ab, 0 AS eq_ab
+          |FROM r""".stripMargin.replace("\n", " ")),
+
+      "q_polygon_clip" -> (SparkEntry.rectPairsSqlPrefix +
+        """SELECT id,
+          | round(GREATEST(0.0, LEAST(ax1, bx1) - GREATEST(ax0, bx0)) *
+          |   GREATEST(0.0, LEAST(ay1, by1) - GREATEST(ay0, by0)), 6)
+          |   AS inter_area,
+          | round(32.0 - GREATEST(0.0, LEAST(ax1, bx1) - GREATEST(ax0, bx0)) *
+          |   GREATEST(0.0, LEAST(ay1, by1) - GREATEST(ay0, by0)), 6)
+          |   AS union_area,
+          | round(16.0 - GREATEST(0.0, LEAST(ax1, bx1) - GREATEST(ax0, bx0)) *
+          |   GREATEST(0.0, LEAST(ay1, by1) - GREATEST(ay0, by0)), 6)
+          |   AS diff_area
+          |FROM r""".stripMargin.replace("\n", " ")),
+
+      "q_line_metrics" ->
+        """SELECT s_suppkey AS id, 3 AS n_simplified,
+          | CAST(2 * ceil(CAST(s_suppkey % 5 + 4 AS DOUBLE) / 3.0) + 1
+          |   AS INT) AS n_densified,
+          | CAST(s_suppkey % 5 + 4 AS DOUBLE) AS interp_x,
+          | 0.0 AS interp_y,
+          | CAST(2 * (s_suppkey % 5 + 4) AS DOUBLE) AS line_len
+          |FROM supplier""".stripMargin.replace("\n", " "),
 
       "q_binning2d_simple" ->
         """WITH src AS (SELECT

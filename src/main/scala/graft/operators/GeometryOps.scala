@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GeometryAlgorithms => GA, PolygonClip}
+
+/** DataFrame faces of the geometry algorithm family. Rings/lines travel
+  * as interleaved coordinate arrays (x0,y0,x1,y1,...) in `array<double>`
+  * columns — the columnar-friendly encoding (no WKT parsing in the hot
+  * path). Every face is a narrow map stage (or one keyed shuffle for the
+  * per-key hull); nothing collects.
+  */
+object GeometryOps {
+
+  private def ring(a: Seq[Double]): IndexedSeq[(Double, Double)] =
+    a.grouped(2).map(p => (p(0), p(1))).toIndexedSeq
+
+  /** Per-key convex hull: (key, n_hull, hull_area). One shuffle on the
+    * key; hull per group in a single pass (monotone chain is O(n log n)).
+    */
+  def hullPerKey(spark: SparkSession, df: DataFrame, keyCol: String,
+                 xCol: String, yCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(xCol).cast("double"),
+        col(yCol).cast("double"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val pts = it.map(t => (t._2, t._3)).toIndexedSeq
+        val hull = GA.convexHull(pts)
+        (k, hull.length, math.abs(GA.signedArea(hull)))
+      }
+      .toDF(keyCol, "n_hull", "hull_area")
+  }
+
+  /** Binary predicate flags for (ringA, ringB) pairs. */
+  def predicatePairs(spark: SparkSession, df: DataFrame, idCol: String,
+                     ringACol: String, ringBCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(ringACol), col(ringBCol))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .map { case (id, a0, b0) =>
+        val a = ring(a0)
+        val b = ring(b0)
+        (id, GA.intersects(a, b), GA.touches(a, b), GA.overlaps(a, b),
+          GA.containsPoly(a, b), GA.equalsPoly(a, b), GA.relation(a, b))
+      }
+      .toDF(idCol, "intersects", "touches", "overlaps", "contains_ab",
+        "equals_ab", "relation")
+  }
+
+  /** Boolean-op areas for (ringA, ringB) pairs: intersection, union,
+    * difference (A minus B).
+    */
+  def clipAreas(spark: SparkSession, df: DataFrame, idCol: String,
+                ringACol: String, ringBCol: String): DataFrame = {
+    import spark.implicits._
+    def areaOf(rs: Seq[IndexedSeq[(Double, Double)]]): Double =
+      rs.map(r => math.abs(GA.signedArea(r))).sum
+    df.select(col(idCol).cast("long"), col(ringACol), col(ringBCol))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .map { case (id, a0, b0) =>
+        val a = ring(a0)
+        val b = ring(b0)
+        (id, areaOf(PolygonClip.intersection(a, b)),
+          areaOf(PolygonClip.union(a, b)),
+          areaOf(PolygonClip.difference(a, b)))
+      }
+      .toDF(idCol, "inter_area", "union_area", "diff_area")
+  }
+
+  /** Line metrics per row: simplified vertex count (Douglas-Peucker),
+    * densified count, the line_interpolate(fraction) point, and length.
+    */
+  def lineMetrics(spark: SparkSession, df: DataFrame, idCol: String,
+                  lineCol: String, tolerance: Double, maxLength: Double,
+                  fraction: Double): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(lineCol))
+      .as[(Long, Seq[Double])]
+      .map { case (id, l0) =>
+        val l = ring(l0)
+        val (ix, iy) = GA.lineInterpolate(l, fraction)
+        (id, GA.simplify(l, tolerance).length,
+          GA.densify(l, maxLength).length, ix, iy, GA.length(l))
+      }
+      .toDF(idCol, "n_simplified", "n_densified", "interp_x", "interp_y",
+        "line_len")
+  }
+}

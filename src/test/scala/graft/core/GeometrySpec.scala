@@ -1,0 +1,129 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import GeometryAlgorithms._
+
+class GeometryAlgorithmsSpec extends AnyFunSuite {
+
+  private def rect(x0: Double, y0: Double, x1: Double, y1: Double)
+      : IndexedSeq[(Double, Double)] =
+    IndexedSeq((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+
+  test("convex hull drops interior and collinear points") {
+    val pts = IndexedSeq((0.0, 0.0), (9.0, 0.0), (9.0, 9.0), (0.0, 9.0),
+      (4.0, 5.0), (1.0, 1.0), (4.5, 0.0) /* collinear on bottom edge */)
+    val hull = convexHull(pts)
+    assert(hull.toSet === Set((0.0, 0.0), (9.0, 0.0), (9.0, 9.0),
+      (0.0, 9.0)))
+    assert(math.abs(math.abs(signedArea(hull)) - 81.0) < 1e-12)
+  }
+
+  test("douglas-peucker keeps shape points above tolerance") {
+    val line = IndexedSeq((0.0, 0.0), (1.0, 0.1), (2.0, -0.1), (3.0, 0.05),
+      (4.0, 0.0))
+    // all deviations < 0.5 -> collapses to the endpoints
+    assert(simplify(line, 0.5) === IndexedSeq((0.0, 0.0), (4.0, 0.0)))
+    // tolerance below the noise keeps everything
+    assert(simplify(line, 0.01) === line)
+    // a real corner survives any sub-corner tolerance
+    val corner = IndexedSeq((0.0, 0.0), (2.0, 2.0), (4.0, 0.0))
+    assert(simplify(corner, 1.0) === corner)
+  }
+
+  test("densify subdivides long segments; length preserved (planar)") {
+    val line = IndexedSeq((0.0, 0.0), (10.0, 0.0))
+    val d = densify(line, 3.0)
+    assert(d.length === 5) // 4 subsegments of 2.5
+    assert(math.abs(length(d) - 10.0) < 1e-12)
+  }
+
+  test("line_interpolate walks fractional length across vertices") {
+    val line = IndexedSeq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0))
+    assert(lineInterpolate(line, 0.25) === ((2.0, 0.0)))
+    assert(lineInterpolate(line, 0.75) === ((4.0, 2.0)))
+    // geodetic slerp stays on the segment for equatorial lines
+    val eq = IndexedSeq((0.0, 0.0), (10.0, 0.0))
+    val mid = lineInterpolate(eq, 0.5, geodetic = true)
+    assert(math.abs(mid._1 - 5.0) < 1e-9 && math.abs(mid._2) < 1e-12)
+  }
+
+  test("closest points between disjoint rings") {
+    val a = rect(0, 0, 2, 2)
+    val b = rect(5, 1, 7, 3)
+    val (pa, pb, d) = closestPoints(a :+ a.head, b :+ b.head)
+    assert(math.abs(d - 3.0) < 1e-12)
+    assert(pa === ((2.0, 1.0)) || pa === ((2.0, 2.0)))
+    assert(pb._1 === 5.0)
+  }
+
+  test("predicates on rectangles match interval logic") {
+    val a = rect(0, 0, 4, 4)
+    assert(intersects(a, rect(2, 2, 6, 6)))
+    assert(overlaps(a, rect(2, 2, 6, 6)))
+    assert(!overlaps(a, rect(1, 1, 2, 2))) // contained, not overlapping
+    assert(containsPoly(a, rect(1, 1, 2, 2)))
+    assert(touches(a, rect(4, 0, 8, 4))) // shared edge only
+    assert(!overlaps(a, rect(4, 0, 8, 4)))
+    assert(disjoint(a, rect(5, 5, 6, 6)))
+    assert(equalsPoly(a, rect(0, 0, 4, 4)))
+    assert(relation(a, rect(2, 2, 6, 6)) === "overlaps")
+    assert(relation(a, rect(1, 1, 2, 2)) === "contains")
+    assert(relation(rect(1, 1, 2, 2), a) === "within")
+    assert(relation(a, rect(5, 5, 6, 6)) === "disjoint")
+  }
+
+  test("clip: rectangle intersection/union/difference areas") {
+    val a = rect(0, 0, 4, 4)
+    val b = rect(2, 2, 6, 6)
+    val inter = PolygonClip.intersection(a, b)
+    assert(inter.length === 1)
+    assert(math.abs(math.abs(signedArea(inter.head)) - 4.0) < 1e-12)
+    val uni = PolygonClip.union(a, b)
+    assert(math.abs(uni.map(r => math.abs(signedArea(r))).sum - 28.0)
+      < 1e-12)
+    val diff = PolygonClip.difference(a, b)
+    assert(math.abs(diff.map(r => math.abs(signedArea(r))).sum - 12.0)
+      < 1e-12)
+  }
+
+  test("clip: concave subject against rectangle") {
+    // L-shape: 4x4 square minus its upper-right 2x2 quadrant
+    val l = IndexedSeq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0),
+      (2.0, 4.0), (0.0, 4.0))
+    val b = rect(1, 1, 5, 5)
+    val inter = PolygonClip.intersection(l, b)
+    // area of L within [1,5]^2: full [1,4]x[1,2] strip (3) + [1,2]x[2,4]
+    // column (2) = 5
+    assert(math.abs(inter.map(r => math.abs(signedArea(r))).sum - 5.0)
+      < 1e-12, inter)
+    val uni = PolygonClip.union(l, b)
+    // union area = area(L) + area(b) - inter = 12 + 16 - 5 = 23
+    assert(math.abs(uni.map(r => math.abs(signedArea(r))).sum - 23.0)
+      < 1e-12)
+  }
+
+  test("clip fallbacks: containment and disjoint") {
+    val a = rect(0, 0, 10, 10)
+    val b = rect(2, 2, 3, 3)
+    assert(PolygonClip.intersection(a, b).map(r =>
+      math.abs(signedArea(r))).sum === 1.0)
+    assert(PolygonClip.union(a, b).map(r =>
+      math.abs(signedArea(r))).sum === 100.0)
+    val c = rect(20, 20, 21, 21)
+    assert(PolygonClip.intersection(a, c).isEmpty)
+    assert(PolygonClip.union(a, c).map(r =>
+      math.abs(signedArea(r))).sum === 101.0)
+    assert(PolygonClip.difference(a, c).map(r =>
+      math.abs(signedArea(r))).sum === 100.0)
+  }
+
+  test("measures: perimeter, centroid, envelope, geodesic length") {
+    val a = rect(0, 0, 3, 4)
+    assert(perimeter(a) === 14.0)
+    assert(centroid(a) === ((1.5, 2.0)))
+    assert(envelope(a) === ((0.0, 0.0, 3.0, 4.0)))
+    // 1 degree along the equator ~ 111.32 km
+    val d = length(IndexedSeq((0.0, 0.0), (1.0, 0.0)), geodetic = true)
+    assert(math.abs(d - 111319.49) < 1.0, d)
+  }
+}
