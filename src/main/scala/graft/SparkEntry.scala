@@ -774,6 +774,46 @@ object SparkEntry {
         (n, math.round(filled(8 * size + 8) * 1000) / 1000.0)
       }.toDF("n", "center")
     }),
+    "q_fill_multigrid" -> ((s, dir) => {
+      // fill.multigrid on the same harmonic-plane fixture as gauss_seidel:
+      // converged V-cycles reproduce the plane, center = 24 + n
+      import s.implicits._
+      val nations = s.read.parquet(t(dir, "nation")).select(col("n_nationkey"))
+        .as[Int].collect().toSeq
+      nations.toDF("n").as[Int].map { n =>
+        val size = 16
+        val vals = Array.tabulate(size * size) { k =>
+          val i = k / size
+          val j = k % size
+          if (i == 0 || j == 0 || i == size - 1 || j == size - 1)
+            (i + 2.0 * j + n).toDouble
+          else Double.NaN
+        }
+        val (filled, _, _) = graft.core.FillMultigrid.multigrid(
+          vals, size, size, maxIterations = 300, epsilon = 1e-8)
+        (n, math.round(filled(8 * size + 8) * 1000) / 1000.0)
+      }.toDF("n", "center")
+    }),
+    "q_fill_fft" -> ((s, dir) => {
+      // fill.fft_inpaint (DCT path): deterministic-holes fixture;
+      // engine-specific spectral fixed point -> rows-only check
+      import s.implicits._
+      val nations = s.read.parquet(t(dir, "nation")).select(col("n_nationkey"))
+        .as[Int].collect().toSeq
+      nations.toDF("n").as[Int].map { n =>
+        val size = 16
+        val vals = Array.tabulate(size * size) { k =>
+          val i = k / size
+          val j = k % size
+          if ((i * j + n) % 11 == 0) Double.NaN
+          else ((i * 31 + j * 17 + n) % 29).toDouble
+        }
+        val (filled, iters, _) = graft.core.FillMultigrid.fftInpaint(
+          vals, size, size, sigma = 6.0, maxIterations = 300,
+          epsilon = 1e-7)
+        (n, iters, math.floor(filled(8 * size + 8) * 100 + 0.5) / 100)
+      }.toDF("n", "iterations", "center")
+    }),
     "q_kriging" -> ((s, dir) => {
       // DISTINCT lattice points (duplicate build coordinates make the
       // covariance matrix singular -> NaN) carrying the linear field
@@ -936,6 +976,11 @@ object SparkEntry {
       // the boundary field i + 2j + n is harmonic: the converged interior
       // equals that plane, so center (8,8) = 8 + 16 + n
       "q_fill_gauss_seidel" ->
+        """SELECT n_nationkey AS n,
+          | CAST(24 + n_nationkey AS DOUBLE) AS center
+          |FROM nation""".stripMargin.replace("\n", " "),
+
+      "q_fill_multigrid" ->
         """SELECT n_nationkey AS n,
           | CAST(24 + n_nationkey AS DOUBLE) AS center
           |FROM nation""".stripMargin.replace("\n", " "),
