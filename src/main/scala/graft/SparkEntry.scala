@@ -152,6 +152,26 @@ object SparkEntry {
       |  ay0 + dy + 4.0 AS by1 FROM base)
       |""".stripMargin.replace("\n", " ")
 
+  /** Synthetic inclined-circular-orbit model built from the supplier
+    * table: time = 60 s per key over one ~6000 s revolution.
+    */
+  def syntheticOrbit(s: SparkSession, dir: String)
+      : graft.core.OrbitEphemeris.OrbitModel = {
+    val supp = s.read.parquet(t(dir, "supplier"))
+    // time step scaled so any SF's supplier count covers ~1.1 revolutions
+    val n = supp.count().toDouble
+    val dt = 6600.0 / n
+    val u = col("s_suppkey").cast("double") * (2.0 * math.Pi * dt / 6000.0)
+    val ephem = supp.select(
+      (col("s_suppkey").cast("double") * dt).as("time_s"),
+      (degrees(atan2(cos(lit(math.toRadians(66.0))) * sin(u), cos(u))) -
+        (col("s_suppkey").cast("double") * dt) * (360.0 / 86400.0))
+        .as("lon"),
+      degrees(asin(sin(lit(math.toRadians(66.0))) * sin(u))).as("lat"))
+    OrbitOps.orbitFromEphemeris(s, ephem, height = 500000.0,
+      alongTrackResolutionKm = 100.0)
+  }
+
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val images = graft.pipeline.ImageTableGen.generate(spark, 64, 16)
@@ -702,6 +722,28 @@ object SparkEntry {
       Orbit.passDecomposition(track, "time", "lat")
         .select(col("time"), col("pass_number"),
           col("ascending").cast("int").as("asc"))
+    }),
+
+    "q_orbit_passes" -> ((s, dir) => {
+      // full orbit module: ephemeris -> calculate_orbit -> pass catalog
+      // with equator crossings (engine-specific spline -> rows-only)
+      val orbit = SparkEntry.syntheticOrbit(s, dir)
+      OrbitOps.passCatalog(s, orbit)
+        .select(col("pass_number"), col("n_points"),
+          round(col("equator_lon"), 3).as("eq_lon"),
+          round(col("equator_time"), 1).as("eq_time"))
+    }),
+    "q_orbit_swath" -> ((s, dir) => {
+      // calculate_swath fan-out: one row per (pass, line, pixel);
+      // aggregated shape + bounds per pass (rows-only)
+      val orbit = SparkEntry.syntheticOrbit(s, dir)
+      OrbitOps.swathPoints(s, orbit, acrossTrackResolutionKm = 10.0,
+          halfSwathKm = 60.0, halfGapKm = 10.0)
+        .groupBy(col("pass_number"))
+        .agg(count(lit(1)).as("n_pixels"),
+          round(min(col("lat")), 2).as("min_lat"),
+          round(max(col("lat")), 2).as("max_lat"),
+          round(max(abs(col("x_ac"))), 1).as("max_xac"))
     }),
 
     // ======== geodetic kNN (ECEF metric, §2.3) ========

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.OrbitEphemeris
+import graft.core.OrbitEphemeris.OrbitModel
+
+/** Distributed faces of the orbit module. The OrbitModel (one repeat
+  * cycle, 10^4-10^5 nadir points) is driver-scale metadata broadcast to
+  * executors; the distributed axes are PASSES and swath pixels — each
+  * pass expands independently, so a full constellation/cycle fan-out is
+  * one narrow flatMap with no shuffle.
+  */
+object OrbitOps {
+
+  /** Build the orbit model from an ephemeris DataFrame of
+    * (time_s, lon, lat) rows — collected: an ephemeris is one satellite
+    * cycle, bounded by physics, not data volume.
+    */
+  def orbitFromEphemeris(spark: SparkSession, ephemeris: DataFrame,
+                         height: Double,
+                         alongTrackResolutionKm: Double = 2.0): OrbitModel = {
+    import spark.implicits._
+    val rows = ephemeris.select(col("time_s").cast("double"),
+        col("lon").cast("double"), col("lat").cast("double"))
+      .as[(Double, Double, Double)].collect().sortBy(_._1)
+    OrbitEphemeris.calculateOrbit(height, rows.map(_._2), rows.map(_._3),
+      rows.map(_._1),
+      alongTrackResolutionKm = alongTrackResolutionKm)
+  }
+
+  /** One row per pass: pass number, point count, equator crossing. */
+  def passCatalog(spark: SparkSession, orbit: OrbitModel): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(orbit)
+    spark.range(1, orbit.passesPerCycle + 1)
+      .as[Long]
+      .flatMap { p =>
+        OrbitEphemeris.calculatePass(p.toInt, bc.value).map { pd =>
+          (pd.passNumber, pd.lonNadir.length, pd.equatorLon, pd.equatorTime)
+        }
+      }
+      .toDF("pass_number", "n_points", "equator_lon", "equator_time")
+  }
+
+  /** Swath pixel table: one row per (pass, line, pixel) — the flat
+    * relational face of calculate_swath, distributed over passes.
+    */
+  def swathPoints(spark: SparkSession, orbit: OrbitModel,
+                  acrossTrackResolutionKm: Double = 2.0,
+                  halfSwathKm: Double = 70.0, halfGapKm: Double = 2.0)
+      : DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(orbit)
+    spark.range(1, orbit.passesPerCycle + 1)
+      .as[Long]
+      .flatMap { p =>
+        OrbitEphemeris.calculatePass(p.toInt, bc.value) match {
+          case None => Iterator.empty
+          case Some(pd) =>
+            val (lon, lat, xAc) = OrbitEphemeris.calculateSwath(pd,
+              acrossTrackResolutionKm, halfSwathKm, halfGapKm)
+            for {
+              i <- lon.indices.iterator
+              j <- lon(i).indices.iterator
+            } yield (pd.passNumber, i, j, lon(i)(j), lat(i)(j), xAc(j),
+              pd.xAl(i), pd.time(i))
+        }
+      }
+      .toDF("pass_number", "line", "pixel", "lon", "lat", "x_ac", "x_al",
+        "time_s")
+  }
+}

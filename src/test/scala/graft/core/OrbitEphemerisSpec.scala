@@ -1,0 +1,100 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class OrbitEphemerisSpec extends AnyFunSuite {
+
+  // inclined circular orbit nadir track with Earth rotation
+  private val incl = math.toRadians(66.0)
+  private val period = 6000.0
+  private val earthRate = 360.0 / 86400.0
+
+  private def nadir(t: Double): (Double, Double) = {
+    val u = 2.0 * math.Pi * t / period
+    val lat = math.toDegrees(math.asin(math.sin(incl) * math.sin(u)))
+    val lon = math.toDegrees(math.atan2(
+      math.cos(incl) * math.sin(u), math.cos(u))) - earthRate * t
+    (((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0, lat)
+  }
+
+  private def ephemeris(n: Int, dt: Double)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val t = Array.tabulate(n)(_ * dt)
+    val pts = t.map(nadir)
+    (pts.map(_._1), pts.map(_._2), t)
+  }
+
+  test("interpolateTrack stays on the analytic track") {
+    // the reference's stretched-sphere rescale (`orbit.py:119-126`) is a
+    // radial projection, NOT node-exact: it shifts geodetic latitude by
+    // O(f) (~0.03 deg). Assert we track the analytic nadir within that
+    // design tolerance, at nodes and at midpoints.
+    val (lon, lat, t) = ephemeris(200, 30.0)
+    val queries = Array.tabulate(380)(k => 150.0 + k * 15.0)
+    val (li, bi) = OrbitEphemeris.interpolateTrack(lon, lat, t, queries,
+      halfWindow = 8)
+    for (k <- queries.indices) {
+      val (elon, elat) = nadir(queries(k))
+      val dLon = math.abs(((li(k) - elon + 540.0) % 360.0) - 180.0)
+      assert(dLon < 0.1, s"lon k=$k ${li(k)} vs $elon")
+      assert(math.abs(bi(k) - elat) < 0.1, s"lat k=$k ${bi(k)} vs $elat")
+    }
+  }
+
+  test("calculateOrbit finds ~2 passes per revolution and sane x_al") {
+    val (lon, lat, t) = ephemeris(1200, 10.0) // 2 revolutions
+    val orbit = OrbitEphemeris.calculateOrbit(500000.0, lon, lat, t,
+      alongTrackResolutionKm = 50.0, upsampleStep = 1e9 /* skip */)
+    assert(orbit.passesPerCycle >= 3 && orbit.passesPerCycle <= 6,
+      orbit.passesPerCycle)
+    // along-track distance grows at ~50 km per sample
+    val dx = orbit.xAl.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(dx.forall(d => math.abs(d - 50.0) < 1e-9))
+    // track stays within the inclination band
+    assert(orbit.latNadir.forall(l => math.abs(l) <= 66.5))
+  }
+
+  test("calculatePass slices half-orbits with an equator crossing") {
+    val (lon, lat, t) = ephemeris(1200, 10.0)
+    val orbit = OrbitEphemeris.calculateOrbit(500000.0, lon, lat, t,
+      alongTrackResolutionKm = 25.0, upsampleStep = 1e9)
+    val p = OrbitEphemeris.calculatePass(2, orbit)
+    assert(p.isDefined)
+    val pd = p.get
+    assert(pd.lonNadir.length > 10)
+    // a half-orbit sweeps from one latitude extreme to the other, so it
+    // crosses the equator once
+    assert(!pd.equatorLon.isNaN)
+    assert(pd.equatorTime >= pd.time.head && pd.equatorTime <= pd.time.last)
+    // latitude at the crossing time interpolates to ~0
+    val i = pd.time.indexWhere(_ >= pd.equatorTime)
+    assert(math.abs(pd.latNadir(math.max(0, i - 1))) < 25.0)
+  }
+
+  test("swath pixels sit at the prescribed across-track distances") {
+    val (lon, lat, t) = ephemeris(1200, 10.0)
+    val orbit = OrbitEphemeris.calculateOrbit(500000.0, lon, lat, t,
+      alongTrackResolutionKm = 100.0, upsampleStep = 1e9)
+    val pd = (1 to orbit.passesPerCycle).iterator
+      .flatMap(p => OrbitEphemeris.calculatePass(p, orbit)).next()
+    val (slon, slat, xAc) = OrbitEphemeris.calculateSwath(pd,
+      acrossTrackResolutionKm = 10.0, halfSwathKm = 60.0, halfGapKm = 10.0)
+    assert(xAc.length === 12) // 2 * ((60-10)/10 + 1)
+    // geodesic distance nadir -> pixel must match |x_ac| within 0.5%
+    for (i <- 2 until slon.length - 2 by 3; j <- xAc.indices) {
+      val d = Geodesics.vincenty(pd.lonNadir(i), pd.latNadir(i),
+        slon(i)(j), slat(i)(j)).distance
+      assert(math.abs(d - math.abs(xAc(j))) / math.abs(xAc(j)) < 5e-3,
+        s"i=$i j=$j d=$d xac=${xAc(j)}")
+    }
+    // east and west pixels land on opposite sides (different longitudes)
+    val mid = xAc.length / 2
+    for (i <- 2 until slon.length - 2 by 7) {
+      val dWest = math.abs(slon(i)(0) - pd.lonNadir(i)) +
+        math.abs(slat(i)(0) - pd.latNadir(i))
+      assert(dWest > 1e-4)
+      assert(math.abs(slon(i)(mid - 1) - slon(i)(mid)) > 1e-6 ||
+        math.abs(slat(i)(mid - 1) - slat(i)(mid)) > 1e-6)
+    }
+  }
+}
