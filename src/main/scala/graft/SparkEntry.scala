@@ -360,6 +360,22 @@ object SparkEntry {
       GridInterpolator.bivariate(s, probe, "x", "y", g, "bilinear")
         .select(col("o_orderkey"), col("value").as("interp"))
     }),
+    "q_grid_ingest" -> ((s, dir) => {
+      // CF-style grid ingestion end-to-end: long-format table -> axis
+      // role inference -> Grid2D -> bilinear at nodes (exact oracle)
+      val gridTable = s.range(41L * 41L).select(
+        floor(col("id") / 41).cast("double").as("lon"),
+        (col("id") % 41).cast("double").as("lat"),
+        ((floor(col("id") / 41) * 31 + (col("id") % 41) * 17) % 97)
+          .cast("double").as("sst"))
+      val g = graft.sources.GridLoader.grid2d(gridTable)
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        (col("o_orderkey") % 41).cast("double").as("x"),
+        (col("o_orderkey") * 7 % 41).cast("double").as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "bilinear")
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
     "q_bicubic_nodes" -> ((s, dir) => {
       // node fidelity: windowed bicubic AT grid nodes returns the node
       // value exactly; the integer-valued grid gives a closed SQL oracle
@@ -1080,6 +1096,12 @@ object SparkEntry {
       "q_bicubic_nodes" ->
         """SELECT o_orderkey,
           | round(CAST(((o_orderkey % 34 + 3) * 31 + (o_orderkey * 7 % 34 + 3) * 17)
+          |   % 97 AS DOUBLE), 9) AS interp
+          |FROM orders""".stripMargin.replace("\n", " "),
+
+      "q_grid_ingest" ->
+        """SELECT o_orderkey,
+          | round(CAST(((o_orderkey % 41) * 31 + (o_orderkey * 7 % 41) * 17)
           |   % 97 AS DOUBLE), 9) AS interp
           |FROM orders""".stripMargin.replace("\n", " "),
 

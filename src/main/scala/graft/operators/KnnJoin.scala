@@ -39,6 +39,12 @@ object KnnJoin {
     * shuffle path, where AQE's skew-join rewrite does not apply to
     * object cogroups.
     */
+  /** `boundaryCheck` (`geometry/rtree.hpp:37-46,582-616`): "none",
+    * "envelope" (query inside the neighbors' AABB) or "convex_hull"
+    * (2-D cartesian only, like the reference rejects 4-D); an invalid
+    * neighborhood empties the result (interpolators yield NaN + 0
+    * neighbors).
+    */
   final case class Config(
       k: Int = 8,
       radius: Double = Double.PositiveInfinity,
@@ -48,7 +54,8 @@ object KnnJoin {
       idwPower: Int = 2,
       windowKernel: String = "blackman",
       windowArg: Double = 0.0,
-      saltFactor: Int = 1)
+      saltFactor: Int = 1,
+      boundaryCheck: String = "none")
 
   case class BuildRow(cell: Long, cx: Double, cy: Double, cz: Double,
                       value: Double, id: Long)
@@ -329,12 +336,40 @@ object KnnJoin {
     }.toDF("qid", "nid", "dist", "value", "rank")
   }
 
+  /** Neighborhood validity (`rtree.hpp:582-616`). */
+  private[operators] def boundaryValid(q: Array[Double],
+      coords: Array[Array[Double]], check: String): Boolean = check match {
+    case "none" => true
+    case _ if coords.isEmpty => false
+    case "envelope" =>
+      q.indices.forall { d =>
+        var lo = Double.MaxValue
+        var hi = -Double.MaxValue
+        coords.foreach { c =>
+          if (c(d) < lo) lo = c(d)
+          if (c(d) > hi) hi = c(d)
+        }
+        q(d) >= lo && q(d) <= hi
+      }
+    case "convex_hull" =>
+      require(q.length == 2,
+        "convex_hull boundary check is 2-D cartesian only; use envelope")
+      val hull = graft.core.GeometryAlgorithms.convexHull(
+        coords.map(c => (c(0), c(1))).toIndexedSeq)
+      graft.core.Polygon2D(hull.toArray).coveredBy(q(0), q(1))
+    case other =>
+      throw new IllegalArgumentException(s"boundaryCheck $other")
+  }
+
   /** Inverse-distance weighting (`rtree.hpp:398-429`): exact-hit
-    * shortcut at d<1e-6, w=1/d^p, NaN + 0 neighbors when empty.
+    * shortcut at d<1e-6, w=1/d^p, NaN + 0 neighbors when empty or when
+    * the boundary check rejects the neighborhood.
     */
   def idw(spark: SparkSession, build: DataFrame, probe: DataFrame,
           cfg: Config): DataFrame = {
     import spark.implicits._
+    if (cfg.boundaryCheck != "none") return idwChecked(spark, build, probe,
+      cfg)
     val p = cfg.idwPower
     val k = cfg.k
     neighbors(spark, build, probe, cfg).map { r =>
@@ -356,6 +391,43 @@ object KnnJoin {
       else if (totalW != 0.0) (r.qid, result / totalW, r.n)
       else (r.qid, Double.NaN, 0)
     }.toDF("qid", "value", "neighbors")
+  }
+
+  /** IDW with the boundary-check gate: needs neighbor coordinates. */
+  private def idwChecked(spark: SparkSession, build: DataFrame,
+      probe: DataFrame, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val p = cfg.idwPower
+    val check = cfg.boundaryCheck
+    neighborsWithCoords(spark, build, probe, cfg).map { r =>
+      if (!boundaryValid(r.q, r.coords, check)) (r.qid, Double.NaN, 0)
+      else {
+        var result = 0.0
+        var totalW = 0.0
+        var exact = Double.NaN
+        var i = 0
+        while (i < r.values.length && exact.isNaN) {
+          val d = dist(r.q, r.coords(i))
+          if (d < 1e-6) exact = r.values(i)
+          else {
+            val w = 1.0 / math.pow(d, p)
+            totalW += w
+            result += r.values(i) * w
+          }
+          i += 1
+        }
+        if (!exact.isNaN) (r.qid, exact, cfg.k)
+        else if (totalW != 0.0) (r.qid, result / totalW, r.values.length)
+        else (r.qid, Double.NaN, 0)
+      }
+    }.toDF("qid", "value", "neighbors")
+  }
+
+  @inline private def dist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var d = 0
+    while (d < a.length) { val x = a(d) - b(d); s += x * x; d += 1 }
+    math.sqrt(s)
   }
 
   /** Window-function interpolation (`rtree.hpp:500-535`): weights from a

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.core.Axis
+import graft.operators.{Grid2D, Grid3D}
+
+/** CF-convention grid ingestion from long-format columnar tables — the
+  * engine's analog of the reference's xarray backend
+  * (`/root/reference/pyinterp/backends/xarray.py:582-660` axis
+  * identification, `pyinterp/cf.py:28-77` unit sets): each row is one
+  * grid cell (coord columns + a value column); axis roles are inferred
+  * from column metadata `units` (CF unit names) first, then from
+  * conventional column names. Axes must form a regular-or-irregular
+  * complete lattice; missing cells become NaN.
+  *
+  * The lattice VALUES are collected to the driver — a grid is broadcast
+  * metadata for the interpolation map stage (same memory contract as the
+  * reference's in-memory xarray grids); the table itself can be any size
+  * before the final `select` projection.
+  */
+object GridLoader {
+
+  private val LonUnits = Set("degrees_east", "degree_east", "degree_e",
+    "degrees_e", "degreee", "degreese")
+  private val LatUnits = Set("degrees_north", "degree_north", "degree_n",
+    "degrees_n", "degreen", "degreesn")
+  private val LonNames = Set("lon", "longitude", "x")
+  private val LatNames = Set("lat", "latitude", "y")
+  private val TimeNames = Set("time", "date", "t", "z")
+
+  final case class AxisRoles(lon: Option[String], lat: Option[String],
+                             time: Option[String])
+
+  /** Identify axis roles from `units` metadata, then name heuristics. */
+  def identifyAxes(df: DataFrame): AxisRoles = {
+    var lon: Option[String] = None
+    var lat: Option[String] = None
+    var time: Option[String] = None
+    df.schema.fields.foreach { f =>
+      val units =
+        if (f.metadata.contains("units"))
+          f.metadata.getString("units").toLowerCase
+        else ""
+      val name = f.name.toLowerCase
+      if (lon.isEmpty && (LonUnits.contains(units) ||
+        LonNames.contains(name))) lon = Some(f.name)
+      else if (lat.isEmpty && (LatUnits.contains(units) ||
+        LatNames.contains(name))) lat = Some(f.name)
+      else if (time.isEmpty && (TimeNames.contains(name) ||
+        f.dataType.typeName.startsWith("timestamp"))) time = Some(f.name)
+    }
+    AxisRoles(lon, lat, time)
+  }
+
+  private def axisOf(df: DataFrame, colName: String): Axis = {
+    val values = df.select(col(colName).cast("double")).distinct()
+      .orderBy(col(colName).cast("double"))
+      .collect().map(_.getDouble(0))
+    Axis(values)
+  }
+
+  /** Load a 2-D grid: axis roles inferred, value column given (or the
+    * single non-axis numeric column).
+    */
+  def grid2d(df: DataFrame, valueCol: String = ""): Grid2D = {
+    val roles = identifyAxes(df)
+    val lonCol = roles.lon.getOrElse(
+      throw new IllegalArgumentException("no longitude/x axis identified"))
+    val latCol = roles.lat.getOrElse(
+      throw new IllegalArgumentException("no latitude/y axis identified"))
+    val vCol =
+      if (valueCol.nonEmpty) valueCol
+      else df.schema.fields.map(_.name)
+        .filterNot(n => n == lonCol || n == latCol).headOption
+        .getOrElse(throw new IllegalArgumentException("no value column"))
+    val xAxis = axisOf(df, lonCol)
+    val yAxis = axisOf(df, latCol)
+    val nx = xAxis.size
+    val ny = yAxis.size
+    val vals = Array.fill(nx * ny)(Double.NaN)
+    // one narrow pass mapping coordinates to axis indexes (broadcast-free:
+    // regular axes index by arithmetic; irregular collect through the
+    // Axis binary search inside the closure)
+    val rows: Array[Row] = df.select(col(lonCol).cast("double"),
+      col(latCol).cast("double"), col(vCol).cast("double")).collect()
+    rows.foreach { r =>
+      val ix = xAxis.findIndex(bounded = false, coordinate = r.getDouble(0))
+      val iy = yAxis.findIndex(bounded = false, coordinate = r.getDouble(1))
+      if (ix >= 0 && iy >= 0) vals(ix * ny + iy) = r.getDouble(2)
+    }
+    Grid2D(xAxis, yAxis, vals)
+  }
+
+  /** Load a 3-D grid (lon, lat, time-or-z). */
+  def grid3d(df: DataFrame, zColName: String = "",
+             valueCol: String = ""): Grid3D = {
+    val roles = identifyAxes(df)
+    val lonCol = roles.lon.getOrElse(
+      throw new IllegalArgumentException("no longitude/x axis identified"))
+    val latCol = roles.lat.getOrElse(
+      throw new IllegalArgumentException("no latitude/y axis identified"))
+    val zCol =
+      if (zColName.nonEmpty) zColName
+      else roles.time.getOrElse(
+        throw new IllegalArgumentException("no time/z axis identified"))
+    val vCol =
+      if (valueCol.nonEmpty) valueCol
+      else df.schema.fields.map(_.name)
+        .filterNot(n => n == lonCol || n == latCol || n == zCol).headOption
+        .getOrElse(throw new IllegalArgumentException("no value column"))
+    val xAxis = axisOf(df, lonCol)
+    val yAxis = axisOf(df, latCol)
+    val zAxis = axisOf(df, zCol)
+    val ny = yAxis.size
+    val nz = zAxis.size
+    val vals = Array.fill(xAxis.size * ny * nz)(Double.NaN)
+    df.select(col(lonCol).cast("double"), col(latCol).cast("double"),
+        col(zCol).cast("double"), col(vCol).cast("double"))
+      .collect().foreach { r =>
+        val ix = xAxis.findIndex(bounded = false, coordinate = r.getDouble(0))
+        val iy = yAxis.findIndex(bounded = false, coordinate = r.getDouble(1))
+        val iz = zAxis.findIndex(bounded = false, coordinate = r.getDouble(2))
+        if (ix >= 0 && iy >= 0 && iz >= 0)
+          vals((ix * ny + iy) * nz + iz) = r.getDouble(3)
+      }
+    Grid3D(xAxis, yAxis, zAxis, vals)
+  }
+}

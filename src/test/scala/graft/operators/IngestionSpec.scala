@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+import graft.core.{Geodesy, KdTree, TemporalAxis}
+import graft.sources.GridLoader
+
+class IngestionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("grid2d: CF units metadata beats name heuristics; values land") {
+    val df0 = (for { i <- 0 until 5; j <- 0 until 4 }
+      yield (i.toDouble, j.toDouble, (i * 10 + j).toDouble))
+      .toDF("a", "b", "v")
+    val lonMeta = new MetadataBuilder().putString("units", "degrees_east")
+      .build()
+    val latMeta = new MetadataBuilder().putString("units", "degrees_north")
+      .build()
+    val df = df0.select(col("a").as("a", lonMeta),
+      col("b").as("b", latMeta), col("v"))
+    val g = GridLoader.grid2d(df)
+    assert(g.xAxis.size === 5 && g.yAxis.size === 4)
+    assert(g(3, 2) === 32.0)
+    assert(g.xAxis.isRegular && g.xAxis.step === 1.0)
+  }
+
+  test("grid2d: name heuristics + missing cells become NaN") {
+    val df = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 2.0), (0.0, 1.0, 3.0))
+      .toDF("lon", "lat", "sst")
+    val g = GridLoader.grid2d(df)
+    assert(g(0, 0) === 1.0 && g(1, 0) === 2.0 && g(0, 1) === 3.0)
+    assert(g(1, 1).isNaN)
+  }
+
+  test("grid3d: time axis role inferred; layout round-trips") {
+    val df = (for { i <- 0 until 3; j <- 0 until 3; k <- 0 until 2 }
+      yield (i.toDouble, j.toDouble, k * 3600.0,
+        (i * 100 + j * 10 + k).toDouble))
+      .toDF("longitude", "latitude", "time", "v")
+    val g = GridLoader.grid3d(df)
+    assert(g.zAxis.size === 2)
+    assert(g(2, 1, 1) === 211.0)
+  }
+
+  test("temporal axis unit casts are exact, floor on downcast") {
+    val ax = TemporalAxis(Array(-1500L, 0L, 999L, 2000L), "ms")
+    val s = ax.cast("s")
+    assert(s.ticks.toSeq === Seq(-2L, 0L, 0L, 2L)) // floor, incl. pre-epoch
+    val us = ax.cast("us")
+    assert(us.ticks.toSeq === Seq(-1500000L, 0L, 999000L, 2000000L))
+    assert(TemporalAxis.convert(1L, "s", "ns") === 1000000000L)
+    assert(TemporalAxis.convert(-1L, "ns", "s") === -1L)
+    assert(ax.cast("us").cast("ms").ticks.toSeq === ax.ticks.toSeq)
+  }
+
+  test("boundary check gates IDW: envelope and convex hull") {
+    // ring of build points; probe A inside, probe B far outside
+    val build = (0 until 12).map { i =>
+      val a = 2 * math.Pi * i / 12
+      (10 * math.cos(a), 10 * math.sin(a), 1.0, i.toLong)
+    }.toDF("x", "y", "value", "id")
+    val probes = Seq((0L, 0.0, 0.0), (1L, 50.0, 50.0)).toDF("qid", "x", "y")
+    for (check <- Seq("envelope", "convex_hull")) {
+      val out = KnnJoin.idw(spark, build, probes,
+          KnnJoin.Config(k = 12, geodetic = false, boundaryCheck = check))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(out(0L) === 12, check)  // inside: all neighbors used
+      assert(out(1L) === 0, check)   // outside hull/envelope: gated
+    }
+    // none: no gate
+    val out = KnnJoin.idw(spark, build, probes,
+        KnnJoin.Config(k = 12, geodetic = false, boundaryCheck = "none"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) === 12)
+  }
+
+  test("state serialization round-trips (KdTree, Grid2D, TemporalAxis)") {
+    def rt[T <: Serializable](v: T): T = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(v); oos.close()
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      ois.readObject().asInstanceOf[T]
+    }
+    val tree = KdTree.build(
+      (0 until 100).iterator.map(i =>
+        (Array((i % 10).toDouble, (i / 10).toDouble), i.toDouble,
+          i.toLong)), 2)
+    val tree2 = rt(tree)
+    val q = Array(3.2, 4.7)
+    assert(tree.query(q, 5).toSeq === tree2.query(q, 5).toSeq)
+    val g = SparkEntry_TestAccess.grid41
+    val g2 = rt(g)
+    assert(g2(7, 9) === g(7, 9))
+    val ta = TemporalAxis(Array(1L, 2L, 3L), "us")
+    assert(rt(ta).cast("ns").ticks.toSeq === ta.cast("ns").ticks.toSeq)
+  }
+}
+
+/** Test access to SparkEntry internals without widening its API. */
+object SparkEntry_TestAccess {
+  def grid41: Grid2D = graft.SparkEntry.syntheticGrid41
+}
