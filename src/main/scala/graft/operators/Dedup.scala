@@ -38,15 +38,40 @@ object Dedup {
       .groupBy("fp")
       .agg(count("*").as("n_dups"), min("id").as("keep_id"))
 
-  /** MinHash signature over an already-materialized shingle array column
-    * (compute [[shingles]] once; each of the k hashes reuses it).
-    * Hash family: xxhash64(shingle || '#' || i) — deterministic, no
-    * external salt tables.
+  /** MinHash signature over an already-materialized shingle array column.
+    * Universal-hashing family: ONE xxhash64 per shingle, then k affine
+    * permutations h_i(x) = a_i*x + b_i (odd multipliers from splitmix64)
+    * — the per-row cost drops from k string hashes per shingle to one
+    * string hash plus k multiply-adds over a long array.
     */
-  def minhashSignatureFromShingles(sh: Column, k: Int): Column =
+  private def mix(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** One xxhash64 per shingle — materialize this ONCE (its own projected
+    * column) and feed [[minhashSignatureFromHashes]], so the k
+    * permutations don't re-inline the string hashing.
+    */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** Signature from the materialized hash array. Permutation family:
+    * rotate-xor bijections (overflow-free under ANSI mode — wraparound
+    * multiply would throw in Spark 4).
+    */
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(concat(s, lit(s"#$i")))))
+      val r = 1 + (mix(2L * i).toInt & 62) // rotation 1..63
+      val b = mix(2L * i + 1)
+      array_min(transform(hashes, h =>
+        shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
+          .bitwiseXOR(lit(b))))
     }: _*)
+
+  def minhashSignatureFromShingles(sh: Column, k: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(sh), k)
 
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     minhashSignatureFromShingles(shingles(text, n), k)
@@ -66,8 +91,10 @@ object Dedup {
     val k = bands * rowsPerBand
     val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val withSig = withSh.select(col("id"), col("sh"),
-      minhashSignatureFromShingles(col("sh"), k).as("sig"))
+    val withSig = withSh
+      .withColumn("_hb", shingleHashes(col("sh")))
+      .select(col("id"), col("sh"),
+        minhashSignatureFromHashes(col("_hb"), k).as("sig"))
     val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",

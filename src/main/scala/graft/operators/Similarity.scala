@@ -106,10 +106,14 @@ object Similarity {
           .as(Seq("tbl", "bucket")))
     val bi = bucketed(items, "id")
     val bq = bucketed(queries, "qid")
-    val candidates = bq.join(bi, Seq("tbl", "bucket"))
+    // the query side is the small side by construction: broadcast it
+    // through the bucket join, and broadcast the (queries x tables)-
+    // bounded candidate set into the embedding lookups
+    val candidates = bi.join(broadcast(bq), Seq("tbl", "bucket"))
       .select("qid", "id").distinct()
-    val joined = candidates
-      .join(queries.select(col("qid"), col("embedding").as("qe")), "qid")
+    val joined = broadcast(candidates)
+      .join(broadcast(queries.select(col("qid"), col("embedding").as("qe"))),
+        "qid")
       .join(items.select(col("id"), col("embedding").as("ie")), "id")
       .select(col("qid"), col("id"),
         cosine(col("qe").cast("array<double>"),
