@@ -54,4 +54,41 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_binning1d_weighted")
     assert(p.contains("PushedFilters") || p.contains("Filter"), p.take(2000))
   }
+
+  test("distributed crossover joins on cells — no cartesian product") {
+    val p = plan("q_crossover")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // segments come from an idx+1 self equi-join, cells equi-join after
+    assert(p.split("Join").length >= 3, p.take(3000))
+  }
+
+  test("linear binning materializes the frame once below the explode") {
+    val p = plan("q_binning2d_linear")
+    // the Generate's child projects the t/u frame columns, so the
+    // floor/pmod chains are not inlined 4x into the generator array
+    val gi = p.indexOf("Generate")
+    assert(gi >= 0, p.take(2000))
+    assert(p.contains(" t#") || p.contains("[t#") || p.contains(", t#"),
+      "frame column t not materialized:\n" + p.take(3000))
+  }
+
+  test("minhash doc filter is pushed to the documents scan") {
+    val p = plan("q_minhash_lsh")
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThan(doc_id,200)"), p.take(3000))
+  }
+
+  test("period ops are window + single-shuffle aggregates, no cartesian") {
+    for (q <- Seq("q_period_intersect", "q_period_cross",
+        "q_period_duration")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(2000))
+    }
+  }
+
+  test("geodesic distance query is a single narrow map stage") {
+    val p = plan("q_geodesic_distance")
+    assert(!p.contains("Exchange"), "unexpected shuffle:\n" + p.take(3000))
+  }
 }
