@@ -360,6 +360,27 @@ object SparkEntry {
       GridInterpolator.bivariate(s, probe, "x", "y", g, "bilinear")
         .select(col("o_orderkey"), col("value").as("interp"))
     }),
+    "q_quadrivariate" -> ((s, dir) => {
+      // 4-D interpolation at lattice nodes: bilinear in (x,y), linear in
+      // z and u — exact node values give a closed SQL oracle
+      val ax = Axis.regular(0.0, 9.0, 10)
+      val az = Axis.regular(0.0, 4.0, 5)
+      val au = Axis.regular(0.0, 2.0, 3)
+      val vals = new Array[Double](10 * 10 * 5 * 3)
+      for (i <- 0 until 10; j <- 0 until 10; k <- 0 until 5; l <- 0 until 3)
+        vals(((i * 10 + j) * 5 + k) * 3 + l) =
+          ((i * 31 + j * 17 + k * 7 + l * 3) % 53).toDouble
+      val g = Grid4D(ax, ax, az, au, vals)
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        (col("o_orderkey") % 10).cast("double").as("x"),
+        (col("o_orderkey") * 3 % 10).cast("double").as("y"),
+        (col("o_orderkey") % 5).cast("double").as("z"),
+        (col("o_orderkey") % 3).cast("double").as("u"))
+      QuadrivariateInterpolator.quadrivariate(s, probe, "x", "y", "z", "u",
+          g, "bilinear")
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
     "q_grid_ingest" -> ((s, dir) => {
       // CF-style grid ingestion end-to-end: long-format table -> axis
       // role inference -> Grid2D -> bilinear at nodes (exact oracle)
@@ -1097,6 +1118,13 @@ object SparkEntry {
         """SELECT o_orderkey,
           | round(CAST(((o_orderkey % 34 + 3) * 31 + (o_orderkey * 7 % 34 + 3) * 17)
           |   % 97 AS DOUBLE), 9) AS interp
+          |FROM orders""".stripMargin.replace("\n", " "),
+
+      "q_quadrivariate" ->
+        """SELECT o_orderkey,
+          | round(CAST(((o_orderkey % 10) * 31 + (o_orderkey * 3 % 10) * 17
+          |   + (o_orderkey % 5) * 7 + (o_orderkey % 3) * 3)
+          |   % 53 AS DOUBLE), 9) AS interp
           |FROM orders""".stripMargin.replace("\n", " "),
 
       "q_grid_ingest" ->
