@@ -231,6 +231,20 @@ object SparkEntry {
           (round(col("st.skewness"), 4) + 0.0).as("skew_z"),
           (round(col("st.kurtosis"), 4) + 0.0).as("kurt_z"))
     }),
+    "q_nd_reduce" -> ((s, dir) => {
+      // DescriptiveStatistics(..., axis=(j,k)): reduce a 3-D long-format
+      // grid over two dims, keep i
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val cube = li.select((col("l_partkey") % 12).cast("int").as("i"),
+        (col("l_suppkey") % 12).cast("int").as("j"),
+        (col("l_orderkey") % 7).cast("int").as("k"),
+        col("l_quantity").as("z"))
+      NdStats.reduceAxes(cube, Seq("i", "j", "k"), Seq("j", "k"), col("z"))
+        .select(col("i"), col("count").as("cnt"), col("sum").as("sum_z"),
+          col("min").as("min_z"), col("max").as("max_z"),
+          (round(col("mean"), 9) + 0.0).as("mean_z"),
+          (round(col("variance"), 4) + 0.0).as("var_z"))
+    }),
     "q_histogram2d" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))
       // per-bin digest; exact fields (count/min/max) oracle-checked
@@ -1311,6 +1325,19 @@ object SparkEntry {
           |SELECT ix, COUNT(*) AS cnt, SUM(w) AS sum_w, SUM(w*z) AS sum_wz,
           |  SUM(w*z)/SUM(w) AS wmean
           |FROM src GROUP BY ix""".stripMargin.replace("\n", " "),
+
+      "q_nd_reduce" ->
+        """WITH c AS (SELECT CAST(l_partkey % 12 AS INT) AS i,
+          |  l_quantity AS z FROM lineitem),
+          | m AS (SELECT i, COUNT(*) AS cnt, SUM(z) AS sum_z,
+          |  MIN(z) AS min_z, MAX(z) AS max_z, AVG(z) AS mu
+          |  FROM c GROUP BY i),
+          | v AS (SELECT c.i, SUM(POW(c.z - m.mu, 2)) AS m2
+          |  FROM c JOIN m ON c.i = m.i GROUP BY c.i)
+          |SELECT m.i, m.cnt, m.sum_z, m.min_z, m.max_z,
+          | round(m.sum_z / m.cnt, 9) + 0.0 AS mean_z,
+          | round(v.m2 / m.cnt, 4) + 0.0 AS var_z
+          |FROM m JOIN v ON m.i = v.i""".stripMargin.replace("\n", " "),
 
       "q_stats_moments" ->
         """WITH m AS (SELECT l_returnflag AS flag, COUNT(*) AS cnt,
