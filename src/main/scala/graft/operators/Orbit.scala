@@ -21,12 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Orbit {
 
-  /** Input: (time: long/timestamp-castable, lon, lat) rows of one orbit.
+  /** Input: (time: long/timestamp-castable, lon, lat) rows of one orbit —
+    * or of a whole constellation when `keyCols` names the satellite/track
+    * id columns: the windows then partition per key, so no single task
+    * ever sorts more than one track (the global-window shape is the
+    * documented single-track special case, not the scale path).
     * Output: input + `pass_number` (1-based) + `ascending` flag.
     */
   def passDecomposition(track: DataFrame, timeCol: String = "time",
-                        latCol: String = "lat"): DataFrame = {
-    val w = Window.orderBy(timeCol)
+                        latCol: String = "lat",
+                        keyCols: Seq[String] = Seq.empty): DataFrame = {
+    val w =
+      if (keyCols.isEmpty) Window.orderBy(timeCol)
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(timeCol)
     track
       .withColumn("_dlat", col(latCol) - lag(col(latCol), 1).over(w))
       .withColumn("_prev_dlat", lag(col("_dlat"), 1).over(w))

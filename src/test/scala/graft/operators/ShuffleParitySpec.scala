@@ -89,6 +89,24 @@ class ShuffleParitySpec extends AnyFunSuite {
     assert(dist.nonEmpty && dist == loc)
   }
 
+  test("keyed pass decomposition == per-track decomposition") {
+    // 3-satellite constellation: partitioned windows must reproduce the
+    // single-track (global-window) result per satellite
+    def track(sat: Int) = (0 until 200).map { i =>
+      (sat, i.toDouble, math.abs((i * 7 + sat * 3) % 100 - 50).toDouble)
+    }
+    val all = (0 until 3).flatMap(track).toDF("sat", "time", "lat")
+    val keyed = Orbit.passDecomposition(all, keyCols = Seq("sat"))
+      .select("sat", "time", "pass_number")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val perTrack = (0 until 3).flatMap { s =>
+      Orbit.passDecomposition(track(s).toDF("sat", "time", "lat"))
+        .select("sat", "time", "pass_number")
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    }.toSet
+    assert(keyed === perTrack)
+  }
+
   test("crossover scales: 1e5-vertex tracks, analytic crossing count") {
     // A runs along y=0; B zigzags between +0.5 and -0.5: each B segment
     // crosses A exactly once -> n-1 crossings
