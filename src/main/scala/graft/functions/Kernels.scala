@@ -17,9 +17,13 @@ object Kernels {
   def geohashLat(hash: Long, precision: Int): Double =
     GeoHash.centroid(hash, precision)._2
 
+  /** Cell area, EXACT ellipsoidal lon/lat-rectangle closed form (the
+    * reference's spheroid-aware `geohash/int64.hpp:124-136` area; was
+    * spherical excess in r1).
+    */
   def geohashArea(hash: Long, precision: Int): Double = {
     val (x0, y0, x1, y1) = GeoHash.boundingBox(hash, precision)
-    Geodesy.sphericalRingArea(Array((x0, y0), (x1, y0), (x1, y1), (x0, y1)))
+    graft.core.Geodesics.rectangleArea(x0, y0, x1, y1)
   }
 
   def geohashNeighbors(hash: Long, precision: Int): Array[Long] =

@@ -72,6 +72,17 @@ class GeodesicsSpec extends AnyFunSuite {
     assert(math.abs(poly - rect) / rect < 2e-3, s"$poly vs $rect")
   }
 
+  test("geohash cell area uses the exact ellipsoidal rectangle form") {
+    val prec = 20
+    val h = GeoHash.encode(11.2, 47.8, prec)
+    val (x0, y0, x1, y1) = GeoHash.boundingBox(h, prec)
+    val a = graft.functions.Kernels.geohashArea(h, prec)
+    assert(a === Geodesics.rectangleArea(x0, y0, x1, y1))
+    // equator cells are larger than high-latitude cells of the same size
+    val hEq = GeoHash.encode(11.2, 0.1, prec)
+    assert(graft.functions.Kernels.geohashArea(hEq, prec) > a)
+  }
+
   test("geographic bilinear weights sum to 1 and recover corners") {
     val (w00, w01, w11, w10) =
       Geodesics.bilinearWeights(12.3, 45.6, 12.0, 45.0, 13.0, 46.0, wgs)
