@@ -748,6 +748,33 @@ object SparkEntry {
         planesPerBand = 6, bands = 4)
     }),
 
+    "q_video_frames" -> ((s, dir) => {
+      // video frame-sampling fan-out: one synthetic clip per nation row,
+      // every-3rd-frame sampling; the sampling structure (counts, frame
+      // index range, motion positivity) has a closed oracle
+      val n = s.read.parquet(t(dir, "nation")).count()
+      val vids = MultimodalOps.synthesizeVideos(s, n, frames = 10,
+        size = 16).toDF()
+      MultimodalOps.frameSample(s, vids, everyN = 3)
+        .groupBy(col("video_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_idx")).as("max_frame"),
+          sum(when(col("motion") > 0, 1).otherwise(0)).cast("int")
+            .as("n_moving"))
+        .select(substring(col("video_id"), 4, 9).cast("long").as("vid_idx"),
+          col("n_sampled"), col("max_frame"), col("n_moving"))
+    }),
+    "q_audio_features" -> ((s, dir) => {
+      // PCM feature extraction (FFT spectral centroid): engine-specific
+      // DSP -> rows-only; physics asserted in MultimodalSpec
+      val n = s.read.parquet(t(dir, "nation")).count()
+      val clips = MultimodalOps.synthesizeAudio(s, n, sampleRate = 8000,
+        nSamples = 2048).toDF()
+      MultimodalOps.audioFeatures(s, clips)
+        .select(col("audio_id"), round(col("rms"), 4).as("rms"),
+          round(col("spectral_centroid"), 1).as("centroid_hz"))
+    }),
+
     // ======== crossover / tracks (§2.3, §2.8) ========
     "q_crossover" -> ((s, dir) => {
       val supp = s.read.parquet(t(dir, "supplier"))
@@ -1306,6 +1333,11 @@ object SparkEntry {
           | 0.0 AS interp_y,
           | CAST(2 * (s_suppkey % 5 + 4) AS DOUBLE) AS line_len
           |FROM supplier""".stripMargin.replace("\n", " "),
+
+      "q_video_frames" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS vid_idx,
+          | CAST(4 AS BIGINT) AS n_sampled, 9 AS max_frame, 3 AS n_moving
+          |FROM nation""".stripMargin.replace("\n", " "),
 
       "q_binning2d_simple" ->
         """WITH src AS (SELECT
