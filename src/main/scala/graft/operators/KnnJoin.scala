@@ -131,6 +131,20 @@ object KnnJoin {
     }
   }
 
+  /** Broadcast-vs-shuffle choice WITHOUT a counting scan: thresholds 0 /
+    * Long.MaxValue force a path outright; otherwise the decision uses
+    * Catalyst's optimizer size estimate (file statistics — no job), at a
+    * conservative ~32 bytes per (x, y, value, id) row. A full `count()`
+    * here would read the entire 100-TB build side before any work.
+    */
+  private def useBroadcast(build: DataFrame, cfg: Config): Boolean =
+    if (cfg.broadcastThreshold <= 0L) false
+    else if (cfg.broadcastThreshold == Long.MaxValue) true
+    else {
+      val bytes = build.queryExecution.optimizedPlan.stats.sizeInBytes
+      bytes <= BigInt(cfg.broadcastThreshold) * 32
+    }
+
   def neighbors(spark: SparkSession, build: DataFrame, probe: DataFrame,
                 cfg: Config): Dataset[KnnNeighbors] = {
     import spark.implicits._
@@ -141,8 +155,7 @@ object KnnJoin {
     val buildTyped = toBuildTyped(spark, build, geodetic, prec)
     val probeTyped = toProbeTyped(spark, probe, geodetic, prec)
 
-    val buildCount = build.count()
-    if (buildCount <= cfg.broadcastThreshold) {
+    if (useBroadcast(build, cfg)) {
       // broadcast path: zero shuffle, every partition probes a shared tree
       val pts = buildTyped.collect()
       val tree = KdTree.build(pts.iterator.map { b =>
@@ -245,8 +258,7 @@ object KnnJoin {
     import spark.implicits._
     val dims = if (cfg.geodetic) 3 else 2
     val geodetic = cfg.geodetic
-    val buildCount = build.count()
-    if (buildCount <= cfg.broadcastThreshold) {
+    if (useBroadcast(build, cfg)) {
       val pts = build
         .select(col("x").cast("double"), col("y").cast("double"),
           col("value").cast("double"), col("id").cast("long"))
@@ -538,8 +550,7 @@ object KnnJoin {
     val prec = cfg.precision
     val k = cfg.k
     val radius = cfg.radius
-    val buildCount = build.count()
-    if (buildCount <= cfg.broadcastThreshold) {
+    if (useBroadcast(build, cfg)) {
       val pts = build
         .select(col("x").cast("double"), col("y").cast("double"),
           col("value").cast("double"), col("id").cast("long"))
