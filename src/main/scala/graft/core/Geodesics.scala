@@ -220,19 +220,19 @@ object Geodesics {
     Inverse(dist, math.toDegrees(az1), math.toDegrees(az2))
   }
 
-  /** Robust inverse: Vincenty with a raised iteration cap; if the point
-    * pair is inside the near-antipodal stall region, answer with the
-    * reduced-latitude great-circle distance scaled to the mean radius of
-    * curvature — bounded error ~0.2% confined to a ~0.05 deg neighborhood
-    * of the antipode (documented approximation; full Karney series are a
-    * known follow-up).
+  /** Robust inverse: Vincenty with a raised iteration cap everywhere it
+    * converges; inside the near-antipodal stall region the answer comes
+    * from [[shootingInverse]] — 2-D Newton shooting on the exact geodesic
+    * ODEs (no series truncation; accuracy set by the RK4 step). Falls
+    * back to the reduced-latitude great-circle bound only if the shooting
+    * fails to converge.
     */
   def karney(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
              s: Spheroid = Spheroid.Wgs84): Inverse = {
     val dl = math.abs(normLonDiff(lon2 - lon1))
     val nearAntipodal = dl > 179.5 && math.abs(lat1 + lat2) < 0.5
     if (!nearAntipodal) vincenty(lon1, lat1, lon2, lat2, s, 200)
-    else {
+    else shootingInverse(lon1, lat1, lon2, lat2, s).getOrElse {
       val u1 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat1)))
       val u2 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat2)))
       val dlr = math.toRadians(dl)
@@ -243,6 +243,137 @@ object Geodesics {
       val (a1, a2) = reducedAzimuths(lon1, lat1, lon2, lat2, s)
       Inverse(d * r, a1, a2)
     }
+  }
+
+  /** Direct geodesic problem by RK4 integration of the exact Cartesian
+    * geodesic ODE on the ellipsoid surface g = x^2/a^2 + y^2/a^2 +
+    * z^2/b^2 = 1:
+    *   r'' = -(S1/S2) (x/a^2, y/a^2, z/b^2),
+    *   S1 = x'^2/a^2 + y'^2/a^2 + z'^2/b^2,
+    *   S2 = (x/a^2)^2 + (y/a^2)^2 + (z/b^2)^2
+    * (acceleration normal to the surface — pole-free, unlike the
+    * (phi, lambda, alpha) form). Returns (lat2, lon2, alpha2) degrees
+    * after arc length `dist`.
+    */
+  def direct(lon1: Double, lat1: Double, azimuthDeg: Double, dist: Double,
+             s: Spheroid = Spheroid.Wgs84, steps: Int = 4096)
+      : (Double, Double, Double) = {
+    val a2 = s.a * s.a
+    val b2 = s.b * s.b
+    val lam = math.toRadians(lon1)
+    val phi = math.toRadians(lat1)
+    val alp = math.toRadians(azimuthDeg)
+    val (x0, y0, z0) = Geodesy.llaToEcef(lon1, lat1, 0.0)
+    // local geodetic east / north tangents
+    val ex = -math.sin(lam); val ey = math.cos(lam); val ez = 0.0
+    val nx = -math.sin(phi) * math.cos(lam)
+    val ny = -math.sin(phi) * math.sin(lam)
+    val nz = math.cos(phi)
+    var px = x0; var py = y0; var pz = z0
+    var vx = nx * math.cos(alp) + ex * math.sin(alp)
+    var vy = ny * math.cos(alp) + ey * math.sin(alp)
+    var vz = nz * math.cos(alp) + ez * math.sin(alp)
+    val h = dist / steps
+    @inline def acc(x: Double, y: Double, z: Double, ux: Double,
+                    uy: Double, uz: Double): (Double, Double, Double) = {
+      val s1 = ux * ux / a2 + uy * uy / a2 + uz * uz / b2
+      val gx = x / a2; val gy = y / a2; val gz = z / b2
+      val s2 = gx * gx + gy * gy + gz * gz
+      val mu = -s1 / s2
+      (mu * gx, mu * gy, mu * gz)
+    }
+    var i = 0
+    while (i < steps) {
+      val (a1x, a1y, a1z) = acc(px, py, pz, vx, vy, vz)
+      val k2px = vx + h / 2 * a1x; val k2py = vy + h / 2 * a1y
+      val k2pz = vz + h / 2 * a1z
+      val (a2x, a2y, a2z) = acc(px + h / 2 * vx, py + h / 2 * vy,
+        pz + h / 2 * vz, k2px, k2py, k2pz)
+      val k3px = vx + h / 2 * a2x; val k3py = vy + h / 2 * a2y
+      val k3pz = vz + h / 2 * a2z
+      val (a3x, a3y, a3z) = acc(px + h / 2 * k2px, py + h / 2 * k2py,
+        pz + h / 2 * k2pz, k3px, k3py, k3pz)
+      val k4px = vx + h * a3x; val k4py = vy + h * a3y
+      val k4pz = vz + h * a3z
+      val (a4x, a4y, a4z) = acc(px + h * k3px, py + h * k3py,
+        pz + h * k3pz, k4px, k4py, k4pz)
+      px += h / 6 * (vx + 2 * k2px + 2 * k3px + k4px)
+      py += h / 6 * (vy + 2 * k2py + 2 * k3py + k4py)
+      pz += h / 6 * (vz + 2 * k2pz + 2 * k3pz + k4pz)
+      vx += h / 6 * (a1x + 2 * a2x + 2 * a3x + a4x)
+      vy += h / 6 * (a1y + 2 * a2y + 2 * a3y + a4y)
+      vz += h / 6 * (a1z + 2 * a2z + 2 * a3z + a4z)
+      // unit-speed renormalization (controls RK drift)
+      val vn = math.sqrt(vx * vx + vy * vy + vz * vz)
+      vx /= vn; vy /= vn; vz /= vn
+      i += 1
+    }
+    val (lonE, latE, _) = Geodesy.ecefToLla(px, py, pz)
+    val lamE = math.toRadians(lonE)
+    val phiE = math.toRadians(latE)
+    val e2x = -math.sin(lamE); val e2y = math.cos(lamE)
+    val n2x = -math.sin(phiE) * math.cos(lamE)
+    val n2y = -math.sin(phiE) * math.sin(lamE)
+    val n2z = math.cos(phiE)
+    val azEnd = math.atan2(vx * e2x + vy * e2y,
+      vx * n2x + vy * n2y + vz * n2z)
+    (latE, lonE, math.toDegrees(azEnd))
+  }
+
+  /** Inverse by 2-D Newton shooting over (alpha1, s) with the exact-ODE
+    * direct solver — the no-series answer for the near-antipodal region.
+    * Deterministic multi-start over departure azimuths; keeps the
+    * shortest converged geodesic.
+    */
+  private[core] def shootingInverse(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double, s: Spheroid): Option[Inverse] = {
+    val targetPhi = lat2
+    def err(az: Double, dist: Double): (Double, Double, Double) = {
+      val (p, l, a2) = direct(lon1, lat1, az, dist, s, steps = 2048)
+      (p - targetPhi, normLonDiff(l - lon2), a2)
+    }
+    val d0 = math.Pi * s.b // initial arc guess: half meridian scale
+    var best: Option[Inverse] = None
+    for (az0 <- Seq(0.1, 30.0, 60.0, 90.0, 120.0, 150.0, 179.9,
+        -30.0, -90.0, -150.0)) {
+      var az = az0
+      var dist = d0
+      var converged = false
+      var it = 0
+      while (it < 30 && !converged) {
+        val (ep, el, _) = err(az, dist)
+        if (math.abs(ep) < 1e-9 && math.abs(el) < 1e-9) converged = true
+        else {
+          // numerical Jacobian
+          val dAz = 1e-6
+          val dS = 1.0
+          val (ep1, el1, _) = err(az + dAz, dist)
+          val (ep2, el2, _) = err(az, dist + dS)
+          val j11 = (ep1 - ep) / dAz
+          val j12 = (ep2 - ep) / dS
+          val j21 = (el1 - el) / dAz
+          val j22 = (el2 - el) / dS
+          val det = j11 * j22 - j12 * j21
+          if (det == 0.0 || det.isNaN) it = 30
+          else {
+            var stepAz = (-ep * j22 + el * j12) / det
+            var stepS = (-el * j11 + ep * j21) / det
+            // damp wild steps
+            if (math.abs(stepAz) > 20.0) stepAz = math.signum(stepAz) * 20.0
+            if (math.abs(stepS) > 2e6) stepS = math.signum(stepS) * 2e6
+            az += stepAz
+            dist += stepS
+            if (dist < 1e6 || dist > 2.1e7 || dist.isNaN) it = 30
+          }
+        }
+        it += 1
+      }
+      if (converged && best.forall(_.distance > dist)) {
+        val (_, _, a2) = err(az, dist)
+        best = Some(Inverse(dist, normLonDiff(az), a2))
+      }
+    }
+    best
   }
 
   /** EXACT ellipsoidal area of the lon/lat-aligned rectangle

@@ -44,10 +44,29 @@ class GeodesicsSpec extends AnyFunSuite {
     assert(az > 280.0 && az < 300.0, az)
   }
 
-  test("karney stays finite and sane near the antipode") {
-    val d = Geodesics.karney(0.0, 0.0, 179.8, 0.1, wgs).distance
-    // half the equator circumference is the right scale (~2.0015e7 m)
-    assert(d > 1.99e7 && d < 2.01e7, d)
+  test("direct ODE integrator closes the loop with vincenty") {
+    // forward-shoot along vincenty's azimuth for vincenty's distance:
+    // must land on the target point (validates the Cartesian geodesic
+    // ODE + RK4 against an independent solution)
+    for ((x1, y1, x2, y2) <- Seq((2.35, 48.85, -74.0, 40.71),
+        (10.0, -60.0, 150.0, 55.0), (0.0, 0.0, 0.0, 80.0))) {
+      val inv = Geodesics.vincenty(x1, y1, x2, y2, wgs)
+      val (latE, lonE, _) = Geodesics.direct(x1, y1, inv.azimuth,
+        inv.distance, wgs)
+      assert(math.abs(latE - y2) < 1e-6, s"lat $latE vs $y2")
+      val dLon = math.abs((((lonE - x2) % 360) + 540) % 360 - 180)
+      assert(dLon < 1e-6, s"lon $lonE vs $x2")
+    }
+  }
+
+  test("karney solves the antipodal region exactly (polar geodesic)") {
+    // exactly antipodal equatorial points: the geodesic runs over the
+    // pole -> distance = 2 quarter-meridians = 20003931.4586 m (WGS84)
+    val d = Geodesics.karney(0.0, 0.0, 180.0, 0.0, wgs).distance
+    assert(math.abs(d - 20003931.4586) < 5.0, d)
+    // near-antipodal: between the polar path and half the equator
+    val d2 = Geodesics.karney(0.0, 0.0, 179.8, 0.1, wgs).distance
+    assert(d2 > 1.995e7 && d2 < 2.0016e7, d2)
   }
 
   test("rectangle areas sum to the ellipsoid surface area") {
