@@ -34,7 +34,8 @@ final case class Grid3D(xAxis: Axis, yAxis: Axis, zAxis: Axis,
 final case class Grid4D(xAxis: Axis, yAxis: Axis, zAxis: Axis, uAxis: Axis,
                         values: Array[Double]) extends Serializable {
   @inline def apply(i: Int, j: Int, k: Int, l: Int): Double =
-    values(((i.toLong * yAxis.size + j) * zAxis.size + k).toInt * uAxis.size + l)
+    values((((i.toLong * yAxis.size + j) * zAxis.size + k) *
+      uAxis.size + l).toInt)
   /** 3-D sub-grid at u index l. */
   def cube(l: Int): Grid3D = {
     val vals = new Array[Double](xAxis.size * yAxis.size * zAxis.size)
