@@ -76,6 +76,26 @@ class FourierFillSpec extends AnyFunSuite {
       assert(math.abs(mg(k) - gs(k)) < 1e-4, s"k=$k ${mg(k)} ${gs(k)}")
   }
 
+  test("fft inpaint periodic path preserves DC and fills x-wrapped fields") {
+    val size = 16
+    val const = Array.tabulate(size * size) { k =>
+      if (k % 7 == 2) Double.NaN else -3.5
+    }
+    val (fc, _, _) = FillMultigrid.fftInpaint(const, size, size,
+      periodic = true, sigma = 5.0, maxIterations = 200, epsilon = 1e-9)
+    for (k <- 0 until size * size) assert(math.abs(fc(k) + 3.5) < 1e-6)
+    // x-periodic wave: recovery must respect the wrap (no edge bias)
+    val wave = Array.tabulate(size * size) { k =>
+      math.cos(2 * math.Pi * (k / size) / size)
+    }
+    val holed = wave.clone()
+    for (k <- 0 until size * size if k % 9 == 4) holed(k) = Double.NaN
+    val (fw, _, _) = FillMultigrid.fftInpaint(holed, size, size,
+      periodic = true, sigma = 5.0, maxIterations = 500, epsilon = 1e-9)
+    for (k <- 0 until size * size if k % 9 == 4)
+      assert(math.abs(fw(k) - wave(k)) < 0.2, s"k=$k ${fw(k)} ${wave(k)}")
+  }
+
   test("fft inpaint fills constant fields exactly and smooth fields close") {
     val size = 24
     val const = Array.tabulate(size * size) { k =>
