@@ -53,6 +53,10 @@ class IngestionSpec extends AnyFunSuite {
     assert(TemporalAxis.convert(1L, "s", "ns") === 1000000000L)
     assert(TemporalAxis.convert(-1L, "ns", "s") === -1L)
     assert(ax.cast("us").cast("ms").ticks.toSeq === ax.ticks.toSeq)
+    // bracketing lookups accept any query resolution
+    val bracketing = ax.findIndexes(1L, "s") // 1 s = 1000 ms in [999, 2000]
+    assert(bracketing === Some((2, 3)))
+    assert(ax.meanStep === (2000.0 + 1500.0) / 3)
   }
 
   test("boundary check gates IDW: envelope and convex hull") {
