@@ -172,6 +172,34 @@ object SparkEntry {
       alongTrackResolutionKm = 100.0)
   }
 
+  /** Constant 6x6 bicubic stencil at the (+0.5, +0.5) cell offset,
+    * computed from unit-impulse windows of the local kernel (the kernel
+    * is linear in z, so these ARE the interpolation weights).
+    */
+  lazy val bicubicMidStencil: Array[Array[Double]] = {
+    val xs = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    Array.tabulate(6, 6) { (a, b) =>
+      val z = Array.ofDim[Double](6, 6)
+      z(a)(b) = 1.0
+      new graft.core.Bicubic(xs, xs, z)(2.5, 2.5)
+    }
+  }
+
+  // (no akima analog: the akima slope weights use |delta m|, so the
+  // kernel is NOT linear in z and impulse superposition does not apply)
+
+  /** SQL mirror of the fixed-offset windowed kernels: stencil-weighted
+    * sum over the 6x6 window around (ix, iy) of the integer grid formula.
+    */
+  def midStencilSql(w: Array[Array[Double]]): String = {
+    val terms = (for (a <- 0 until 6; b <- 0 until 6
+        if math.abs(w(a)(b)) > 1e-18) yield
+      s"(${w(a)(b)}) * CAST(((o_orderkey % 34 + 1 + $a) * 31 + " +
+        s"(o_orderkey * 7 % 34 + 1 + $b) * 17) % 97 AS DOUBLE)")
+      .mkString(" + ")
+    s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
+  }
+
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val images = graft.pipeline.ImageTableGen.generate(spark, 64, 16)
@@ -410,6 +438,20 @@ object SparkEntry {
         (col("o_orderkey") * 7 % 41).cast("double").as("y"))
       GridInterpolator.bivariate(s, probe, "x", "y", g, "bilinear")
         .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
+    "q_bicubic_mid" -> ((s, dir) => {
+      // OFF-node bicubic oracle: at a fixed half-cell offset the windowed
+      // bicubic is a constant 6x6 stencil (the kernel is linear in z);
+      // the oracle carries the stencil weights as literals, so the
+      // distributed window extraction + evaluation is value-checked off
+      // the trivial node case too
+      val orders = s.read.parquet(t(dir, "orders"))
+      val g = SparkEntry.syntheticGrid41
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").plus(0.5).as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
     "q_bicubic_nodes" -> ((s, dir) => {
       // node fidelity: windowed bicubic AT grid nodes returns the node
@@ -1155,6 +1197,8 @@ object SparkEntry {
           |FROM supplier""".stripMargin.replace("\n", " "),
 
       // interpolants pass through grid nodes: value = grid formula
+      "q_bicubic_mid" -> SparkEntry.midStencilSql(SparkEntry.bicubicMidStencil),
+
       "q_bicubic_nodes" ->
         """SELECT o_orderkey,
           | round(CAST(((o_orderkey % 34 + 3) * 31 + (o_orderkey * 7 % 34 + 3) * 17)
