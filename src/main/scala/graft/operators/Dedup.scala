@@ -87,7 +87,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7,
+                 maxBucketSize: Long = 100000L): DataFrame = {
     val k = bands * rowsPerBand
     val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
@@ -101,6 +102,16 @@ object Dedup {
           (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
+      // hot-bucket guard: a band bucket shared by >maxBucketSize docs is
+      // boilerplate/empty-doc mass whose self-join is quadratic; such
+      // docs still meet through their OTHER bands (and true near-dups of
+      // a hot doc share several bands), so dropping the hot bucket
+      // bounds the join without dropping the doc
+      .withColumn("_bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -159,12 +170,23 @@ object Dedup {
     * maxHamming <= 3).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Long = 100000L): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
         .as(Seq("chunk", "ckey")))
+      // chunk-value skew guard (e.g. the 0x0000 chunk of short docs):
+      // pairs in an over-full chunk still meet via their other 3 chunks
+      // whenever hamming <= 3, so the pigeonhole completeness is kept
+      // unless a pair's differing bits concentrate OUTSIDE every
+      // non-hot shared chunk — log-scale corpora accept that bound
+      .withColumn("_bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "ckey")))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"),
       col("simhash").as("h_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"),
