@@ -203,8 +203,8 @@ object FillMultigrid {
   /** Multigrid Laplace fill of NaN cells (zero first guess). */
   def multigrid(values: Array[Double], nx: Int, ny: Int,
                 periodic: Boolean = false, maxIterations: Int = 50,
-                epsilon: Double = 1e-8, preSmooth: Int = 2,
-                postSmooth: Int = 2): (Array[Double], Int, Double) = {
+                epsilon: Double = 1e-8, preSmooth: Int = 3,
+                postSmooth: Int = 3): (Array[Double], Int, Double) = {
     val u = values.clone()
     val mask = values.map(_.isNaN)
     if (!mask.contains(true)) return (u, 0, 0.0)
