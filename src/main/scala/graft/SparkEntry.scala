@@ -423,6 +423,20 @@ object SparkEntry {
           g, "bilinear")
         .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
     }),
+    "q_univariate" -> ((s, dir) => {
+      // pyinterp.univariate + univariate_derivative (linear method):
+      // piecewise-linear value and exact integer slope oracle
+      val g = Grid1D(Axis.regular(0.0, 40.0, 41),
+        Array.tabulate(41)(i => ((i * 13) % 41).toDouble))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 380).cast("double") / 10.0 + 0.25).as("x"))
+      val withV = GridInterpolator.univariate(s, probe, "x", g, "linear")
+      GridInterpolator.univariate(s, withV, "x", g, "linear",
+          derivative = true, outputCol = "deriv")
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"),
+          col("deriv"))
+    }),
     "q_grid_ingest" -> ((s, dir) => {
       // CF-style grid ingestion end-to-end: long-format table -> axis
       // role inference -> Grid2D -> bilinear at nodes (exact oracle)
@@ -866,6 +880,30 @@ object SparkEntry {
           round(max(abs(col("x_ac"))), 1).as("max_xac"))
     }),
 
+    "q_knn4d" -> ((s, dir) => {
+      // RTree4D kNN: pure-cartesian 4-D points, cell-cogroup shuffle path
+      // forced; oracle = exact 4-D distance + row_number window
+      val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") < 500)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 10).cast("double").as("x1"),
+        (col("p_partkey") * 3 % 10).cast("double").as("x2"),
+        (col("p_partkey") * 7 % 5).cast("double").as("x3"),
+        (col("p_partkey") % 3).cast("double").as("x4"),
+        (col("p_partkey") % 97).cast("double").as("value"),
+        lit(0.25).as("sigma2"), col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 10).cast("double") + 0.3).as("x1"),
+        ((col("s_suppkey") * 3 % 10).cast("double") + 0.3).as("x2"),
+        ((col("s_suppkey") % 5).cast("double") + 0.2).as("x3"),
+        ((col("s_suppkey") % 3).cast("double") + 0.1).as("x4"))
+      // cellSize 4 over coordinates in [0,10): the 3x3 block always
+      // covers the full lattice, so the cell join is exact here
+      KnnJoin4D.knnJoinFlat(s, build, probe,
+          KnnJoin4D.Config4(k = 4, cellSize = 4.0, broadcastThreshold = 0L))
+        .select(col("qid"), col("nid"), col("rank"))
+    }),
+
     // ======== geodetic kNN (ECEF metric, §2.3) ========
     "q_knn_geodetic" -> ((s, dir) => {
       val cust = s.read.parquet(t(dir, "customer"))
@@ -1212,6 +1250,20 @@ object SparkEntry {
           |   % 53 AS DOUBLE), 9) AS interp
           |FROM orders""".stripMargin.replace("\n", " "),
 
+      "q_univariate" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 380 AS DOUBLE) / 10.0 + 0.25 AS x
+          |  FROM orders),
+          | f AS (SELECT o_orderkey, x,
+          |  CAST(floor(x) AS INT) AS i, x - floor(x) AS frac FROM p)
+          |SELECT o_orderkey,
+          | round(CAST((i * 13) % 41 AS DOUBLE) + frac *
+          |  (CAST(((i + 1) * 13) % 41 AS DOUBLE)
+          |   - CAST((i * 13) % 41 AS DOUBLE)), 9) AS interp,
+          | CAST(((i + 1) * 13) % 41 AS DOUBLE)
+          |  - CAST((i * 13) % 41 AS DOUBLE) AS deriv
+          |FROM f""".stripMargin.replace("\n", " "),
+
       "q_grid_ingest" ->
         """SELECT o_orderkey,
           | round(CAST(((o_orderkey % 41) * 31 + (o_orderkey * 7 % 41) * 17)
@@ -1382,6 +1434,29 @@ object SparkEntry {
         """SELECT CAST(n_nationkey AS BIGINT) AS vid_idx,
           | CAST(4 AS BIGINT) AS n_sampled, 9 AS max_frame, 3 AS n_moving
           |FROM nation""".stripMargin.replace("\n", " "),
+
+      "q_knn4d" ->
+        """WITH b AS (SELECT p_partkey AS id,
+          |  CAST(p_partkey % 10 AS DOUBLE) AS x1,
+          |  CAST(p_partkey * 3 % 10 AS DOUBLE) AS x2,
+          |  CAST(p_partkey * 7 % 5 AS DOUBLE) AS x3,
+          |  CAST(p_partkey % 3 AS DOUBLE) AS x4
+          |  FROM part WHERE p_partkey < 500),
+          | q AS (SELECT s_suppkey AS qid,
+          |  CAST(s_suppkey % 10 AS DOUBLE) + 0.3 AS x1,
+          |  CAST(s_suppkey * 3 % 10 AS DOUBLE) + 0.3 AS x2,
+          |  CAST(s_suppkey % 5 AS DOUBLE) + 0.2 AS x3,
+          |  CAST(s_suppkey % 3 AS DOUBLE) + 0.1 AS x4
+          |  FROM supplier),
+          | d AS (SELECT q.qid, b.id AS nid,
+          |  (b.x1 - q.x1) * (b.x1 - q.x1) + (b.x2 - q.x2) * (b.x2 - q.x2)
+          |   + (b.x3 - q.x3) * (b.x3 - q.x3)
+          |   + (b.x4 - q.x4) * (b.x4 - q.x4) AS d2
+          |  FROM q CROSS JOIN b),
+          | r AS (SELECT qid, nid, row_number() OVER
+          |  (PARTITION BY qid ORDER BY d2, nid) AS rank FROM d)
+          |SELECT qid, nid, rank FROM r WHERE rank <= 4"""
+          .stripMargin.replace("\n", " "),
 
       "q_binning2d_simple" ->
         """WITH src AS (SELECT

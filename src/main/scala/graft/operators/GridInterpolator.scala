@@ -18,6 +18,14 @@ final case class Grid2D(xAxis: Axis, yAxis: Axis, values: Array[Double])
   @inline def apply(i: Int, j: Int): Double = values(i * yAxis.size + j)
 }
 
+/** 1-D grid (`core.Grid` with one axis): the `univariate` /
+  * `univariate_derivative` entry points' data model.
+  */
+final case class Grid1D(axis: Axis, values: Array[Double])
+    extends Serializable {
+  require(values.length == axis.size, "grid size != axis size")
+}
+
 /** 3-D grid: z-axis stacked planes of Grid2D (z may be a temporal axis
   * carried as epoch-encoded doubles).
   */
@@ -104,6 +112,39 @@ object GridInterpolator {
         val x = row.getDouble(xIdx)
         val y = row.getDouble(yIdx)
         Row.fromSeq(row.toSeq :+ interp(x, y))
+      }
+    }(enc)
+  }
+
+  /** Univariate interpolation / derivative over a broadcast 1-D grid —
+    * the `pyinterp.univariate` / `univariate_derivative` entry points
+    * (`regular_grid_interpolator.py` univariate path): the chosen
+    * [[graft.core.Univariate1D]] method is fitted ONCE per partition and
+    * evaluated per row; `derivative = true` emits the fitted curve's
+    * derivative instead of its value.
+    */
+  def univariate(spark: SparkSession, df: DataFrame, xCol: String,
+                 grid: Grid1D, method: String,
+                 derivative: Boolean = false,
+                 outputCol: String = "value"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(grid)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, DoubleType, nullable = false))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val xIdx = df.schema.fieldIndex(xCol)
+    val m = method
+    val deriv = derivative
+    df.mapPartitions { iter =>
+      val g = bc.value
+      val interp = graft.core.Univariate1D(m)
+      val ok = interp.fit(g.axis.values, g.values)
+      iter.map { row =>
+        val x = row.getDouble(xIdx)
+        val v =
+          if (!ok) Double.NaN
+          else if (deriv) interp.derivative(x)
+          else interp.value(x)
+        Row.fromSeq(row.toSeq :+ v)
       }
     }(enc)
   }

@@ -89,6 +89,33 @@ class ShuffleParitySpec extends AnyFunSuite {
     assert(dist.nonEmpty && dist == loc)
   }
 
+  test("4-D kNN: shuffle path ≡ broadcast path; OI uses per-obs sigma2") {
+    val build = (0 until 300).map { i =>
+      ((i % 12).toDouble, (i * 5 % 12).toDouble, (i * 7 % 6).toDouble,
+        (i % 4).toDouble, (i % 31).toDouble, 0.1 + (i % 3) * 0.2, i.toLong)
+    }.toDF("x1", "x2", "x3", "x4", "value", "sigma2", "id")
+    val probe = (0 until 40).map { i =>
+      (i.toLong, (i % 12) + 0.4, (i * 5 % 12) + 0.4, (i % 6) + 0.3,
+        (i % 4) + 0.2)
+    }.toDF("qid", "x1", "x2", "x3", "x4")
+    val bcCfg = KnnJoin4D.Config4(k = 6, cellSize = 6.0,
+      broadcastThreshold = Long.MaxValue)
+    val shCfg = bcCfg.copy(broadcastThreshold = 0L)
+    def rows(cfg: KnnJoin4D.Config4) =
+      KnnJoin4D.knnJoinFlat(spark, build, probe, cfg)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    assert(rows(bcCfg) == rows(shCfg) && rows(bcCfg).nonEmpty)
+    def oi(cfg: KnnJoin4D.Config4) =
+      KnnJoin4D.optimalInterpolation(spark, build, probe, cfg,
+        sigma2Field = 1.0, lengthScales = Array(3.0, 3.0, 2.0, 1.0))
+        .collect().map(_.mkString("|")).toSeq.sorted
+    assert(oi(bcCfg) == oi(shCfg))
+    val vals = KnnJoin4D.optimalInterpolation(spark, build, probe, bcCfg,
+      1.0, Array(3.0, 3.0, 2.0, 1.0)).select("value").collect()
+      .map(_.getDouble(0))
+    assert(vals.forall(v => !v.isNaN && v >= -1.0 && v <= 31.0))
+  }
+
   test("keyed pass decomposition == per-track decomposition") {
     // 3-satellite constellation: partitioned windows must reproduce the
     // single-track (global-window) result per satellite
