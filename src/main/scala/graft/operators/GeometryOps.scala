@@ -50,7 +50,10 @@ object GeometryOps {
   }
 
   /** Boolean-op areas for (ringA, ringB) pairs: intersection, union,
-    * difference (A minus B).
+    * difference (A minus B). Only the intersection rings are measured
+    * directly; union and difference come from inclusion-exclusion
+    * (|A∪B| = |A|+|B|-|A∩B|, |A\B| = |A|-|A∩B|), which stays exact even
+    * where the ring output flattens holes (clip strictly inside subject).
     */
   def clipAreas(spark: SparkSession, df: DataFrame, idCol: String,
                 ringACol: String, ringBCol: String): DataFrame = {
@@ -62,9 +65,10 @@ object GeometryOps {
       .map { case (id, a0, b0) =>
         val a = ring(a0)
         val b = ring(b0)
-        (id, areaOf(PolygonClip.intersection(a, b)),
-          areaOf(PolygonClip.union(a, b)),
-          areaOf(PolygonClip.difference(a, b)))
+        val inter = areaOf(PolygonClip.intersection(a, b))
+        val areaA = math.abs(GA.signedArea(a))
+        val areaB = math.abs(GA.signedArea(b))
+        (id, inter, areaA + areaB - inter, areaA - inter)
       }
       .toDF(idCol, "inter_area", "union_area", "diff_area")
   }

@@ -117,6 +117,22 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
       math.abs(signedArea(r))).sum === 100.0)
   }
 
+  test("clipAreas via inclusion-exclusion is exact for the hole case") {
+    // clip strictly inside subject: ring output flattens the hole, but
+    // the AREA faces must still be exact
+    val spark = graft.operators.SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L,
+      Seq(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0),
+      Seq(2.0, 2.0, 3.0, 2.0, 3.0, 3.0, 2.0, 3.0)))
+      .toDF("id", "ring_a", "ring_b")
+    val r = graft.operators.GeometryOps.clipAreas(spark, df, "id",
+      "ring_a", "ring_b").head()
+    assert(r.getDouble(1) === 1.0)   // intersection
+    assert(r.getDouble(2) === 100.0) // union
+    assert(r.getDouble(3) === 99.0)  // difference EXCLUDES the hole
+  }
+
   test("measures: perimeter, centroid, envelope, geodesic length") {
     val a = rect(0, 0, 3, 4)
     assert(perimeter(a) === 14.0)
