@@ -217,4 +217,22 @@ object GeoHash {
     }
     (h, s.length * 5)
   }
+
+  /** Precision transform (`pyinterp.geohash.transform`): coarsening drops
+    * low bits (one parent cell); refining appends every bit combination
+    * (4^((to-from)/2) children). Precisions step by 2 bits (one lon + one
+    * lat bit), matching the interleaved layout.
+    */
+  def transform(hash: Long, fromPrecision: Int, toPrecision: Int)
+      : Array[Long] = {
+    require((toPrecision - fromPrecision) % 2 == 0,
+      "geohash precisions differ by a multiple of 2 bits")
+    if (toPrecision <= fromPrecision)
+      Array(hash >>> (fromPrecision - toPrecision))
+    else {
+      val extra = toPrecision - fromPrecision
+      val n = 1 << extra
+      Array.tabulate(n)(i => (hash << extra) | i.toLong)
+    }
+  }
 }

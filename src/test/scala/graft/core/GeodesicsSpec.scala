@@ -102,6 +102,19 @@ class GeodesicsSpec extends AnyFunSuite {
     assert(graft.functions.Kernels.geohashArea(hEq, prec) > a)
   }
 
+  test("geohash transform: refine enumerates children, coarsen inverts") {
+    val h = GeoHash.encode(11.2, 47.8, 20)
+    val kids = GeoHash.transform(h, 20, 24)
+    assert(kids.length === 16)
+    // every child coarsens back to the parent and sits inside its bbox
+    val (x0, y0, x1, y1) = GeoHash.boundingBox(h, 20)
+    kids.foreach { c =>
+      assert(GeoHash.transform(c, 24, 20).head === h)
+      val (cx, cy) = GeoHash.centroid(c, 24)
+      assert(cx >= x0 && cx <= x1 && cy >= y0 && cy <= y1)
+    }
+  }
+
   test("geographic bilinear weights sum to 1 and recover corners") {
     val (w00, w01, w11, w10) =
       Geodesics.bilinearWeights(12.3, 45.6, 12.0, 45.0, 13.0, 46.0, wgs)
