@@ -101,8 +101,16 @@ object Crossover {
     * so multi-cell segment pairs need no dedup shuffle. `cellSize <= 0`
     * derives one from the combined track extent (a 4-double aggregate).
     */
+  /** `maxDistanceToVertex` mirrors the reference's `predicate` filter
+    * (`satellite/algorithms/crossover.hpp:63-100`): a crossover is kept
+    * only when it lies within that distance of its nearest vertex on BOTH
+    * tracks — geodesic (mean-sphere haversine stands in for the strategy
+    * parameter) when `geodetic`, planar otherwise. Infinity disables it.
+    */
   def join(spark: SparkSession, trackA: DataFrame, trackB: DataFrame,
-           cellSize: Double = 0.0): DataFrame = {
+           cellSize: Double = 0.0,
+           maxDistanceToVertex: Double = Double.PositiveInfinity,
+           geodetic: Boolean = false): DataFrame = {
     val segA = segments(trackA, "a")
     val segB = segments(trackB, "b")
     val cs =
@@ -161,10 +169,36 @@ object Crossover {
         floor(col("y") / cs).cast("int") === col("ciy"))
     def d2(x0: Column, y0: Column): Column =
       (col("x") - x0) * (col("x") - x0) + (col("y") - y0) * (col("y") - y0)
-    hits.select(col("x"), col("y"),
+    val out = hits.select(col("x"), col("y"),
       when(d2(col("ax1"), col("ay1")) <= d2(col("ax2"), col("ay2")),
         col("ia")).otherwise(col("ia") + 1).as("idx_a"),
       when(d2(col("bx1"), col("by1")) <= d2(col("bx2"), col("by2")),
-        col("ib")).otherwise(col("ib") + 1).as("idx_b"))
+        col("ib")).otherwise(col("ib") + 1).as("idx_b"),
+      least(d2(col("ax1"), col("ay1")), d2(col("ax2"), col("ay2")))
+        .as("_da2"),
+      least(d2(col("bx1"), col("by1")), d2(col("bx2"), col("by2")))
+        .as("_db2"),
+      when(d2(col("ax1"), col("ay1")) <= d2(col("ax2"), col("ay2")),
+        struct(col("ax1"), col("ay1")))
+        .otherwise(struct(col("ax2").as("ax1"), col("ay2").as("ay1")))
+        .as("_va"),
+      when(d2(col("bx1"), col("by1")) <= d2(col("bx2"), col("by2")),
+        struct(col("bx1"), col("by1")))
+        .otherwise(struct(col("bx2").as("bx1"), col("by2").as("by1")))
+        .as("_vb"))
+    val filtered =
+      if (maxDistanceToVertex.isInfinity) out
+      else if (!geodetic)
+        out.filter(sqrt(col("_da2")) <= maxDistanceToVertex &&
+          sqrt(col("_db2")) <= maxDistanceToVertex)
+      else {
+        import graft.functions.gf
+        out.filter(
+          gf.haversine(col("_va.ax1"), col("_va.ay1"), col("x"), col("y"))
+            <= maxDistanceToVertex &&
+          gf.haversine(col("_vb.bx1"), col("_vb.by1"), col("x"), col("y"))
+            <= maxDistanceToVertex)
+      }
+    filtered.select(col("x"), col("y"), col("idx_a"), col("idx_b"))
   }
 }

@@ -134,6 +134,24 @@ class ShuffleParitySpec extends AnyFunSuite {
     assert(keyed === perTrack)
   }
 
+  test("crossover predicate filter drops far-from-vertex crossings") {
+    // A along y=0 with coarse vertices (step 10); B zigzag with fine
+    // vertices: crossings at x=k+0.5 are always within 0.6 of a B vertex
+    // but up to 5 away from an A vertex
+    val a = (0 to 10).map(i => (i, i * 10.0, 0.0)).toDF("idx", "x", "y")
+    val b = (0 until 101).map(i =>
+      (i, i.toDouble, if (i % 2 == 0) 0.5 else -0.5)).toDF("idx", "x", "y")
+    val all = Crossover.join(spark, a, b).count()
+    assert(all === 100)
+    val near = Crossover.join(spark, a, b,
+      maxDistanceToVertex = 1.0).count()
+    // only crossings within 1.0 of an A vertex survive (2 per A vertex)
+    assert(near < all && near > 0, near)
+    // infinite predicate is the identity
+    assert(Crossover.join(spark, a, b,
+      maxDistanceToVertex = Double.PositiveInfinity).count() === all)
+  }
+
   test("crossover scales: 1e5-vertex tracks, analytic crossing count") {
     // A runs along y=0; B zigzags between +0.5 and -0.5: each B segment
     // crosses A exactly once -> n-1 crossings
