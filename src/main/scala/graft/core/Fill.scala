@@ -100,6 +100,43 @@ object Fill {
     (cur, it)
   }
 
+  /** First-guess initialization of masked cells (`fill/helpers.hpp:29-64`
+    * set_zonal_average): "zonal_average" fills each masked cell with the
+    * mean of the KNOWN values of its y-band (column j — the reference's
+    * longitude-band mean), 0 when the whole band is unknown; "zero" fills
+    * with 0.
+    */
+  def applyFirstGuess(grid: Array[Double], mask: Array[Boolean], nxSize: Int,
+                      nySize: Int, firstGuess: String): Unit =
+    firstGuess match {
+      case "zero" =>
+        var k = 0
+        while (k < grid.length) {
+          if (mask(k)) grid(k) = 0.0
+          k += 1
+        }
+      case "zonal_average" =>
+        var j = 0
+        while (j < nySize) {
+          var s = 0.0
+          var c = 0
+          var i = 0
+          while (i < nxSize) {
+            if (!mask(i * nySize + j)) { s += grid(i * nySize + j); c += 1 }
+            i += 1
+          }
+          val guess = if (c > 0) s / c else 0.0
+          i = 0
+          while (i < nxSize) {
+            if (mask(i * nySize + j)) grid(i * nySize + j) = guess
+            i += 1
+          }
+          j += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"firstGuess $other")
+    }
+
   /** Red-black Gauss-Seidel / SOR over originally-NaN cells. Modifies a
     * copy; returns (filled, iterations, final max residual).
     */
@@ -110,24 +147,7 @@ object Fill {
       : (Array[Double], Int, Double) = {
     val grid = values.clone()
     val mask = values.map(_.isNaN)
-    // first guess
-    val guess = firstGuess match {
-      case "zero" => 0.0
-      case _ =>
-        var s = 0.0
-        var c = 0
-        var k = 0
-        while (k < grid.length) {
-          if (!grid(k).isNaN) { s += grid(k); c += 1 }
-          k += 1
-        }
-        if (c > 0) s / c else 0.0
-    }
-    var k = 0
-    while (k < grid.length) {
-      if (mask(k)) grid(k) = guess
-      k += 1
-    }
+    Fill.applyFirstGuess(grid, mask, nxSize, nySize, firstGuess)
     var it = 0
     var maxResidual = Double.MaxValue
     while (it < maxIterations && maxResidual > epsilon) {

@@ -200,16 +200,20 @@ object FillMultigrid {
     if (singular) projectIfSingular(u, mask)
   }
 
-  /** Multigrid Laplace fill of NaN cells (zero first guess). */
+  /** Multigrid Laplace fill of NaN cells; `firstGuess` is
+    * "zonal_average" (per-y-band mean, the reference config default) or
+    * "zero".
+    */
   def multigrid(values: Array[Double], nx: Int, ny: Int,
                 periodic: Boolean = false, maxIterations: Int = 50,
                 epsilon: Double = 1e-8, preSmooth: Int = 3,
-                postSmooth: Int = 3): (Array[Double], Int, Double) = {
+                postSmooth: Int = 3,
+                firstGuess: String = "zonal_average")
+      : (Array[Double], Int, Double) = {
     val u = values.clone()
     val mask = values.map(_.isNaN)
     if (!mask.contains(true)) return (u, 0, 0.0)
-    var k = 0
-    while (k < u.length) { if (mask(k)) u(k) = 0.0; k += 1 }
+    Fill.applyFirstGuess(u, mask, nx, ny, firstGuess)
     val f = new Array[Double](nx * ny)
     val r = new Array[Double](nx * ny)
     var it = 0
@@ -236,7 +240,8 @@ object FillMultigrid {
     */
   def fftInpaint(values: Array[Double], nx: Int, ny: Int,
                  periodic: Boolean = false, sigma: Double = 10.0,
-                 maxIterations: Int = 100, epsilon: Double = 1e-6)
+                 maxIterations: Int = 100, epsilon: Double = 1e-6,
+                 firstGuess: String = "zonal_average")
       : (Array[Double], Int, Double) = {
     val mask = values.map(_.isNaN)
     if (!mask.contains(true)) return (values.clone(), 0, 0.0)
@@ -245,9 +250,10 @@ object FillMultigrid {
     var k = 0
     while (k < u.length) {
       original(k) = if (mask(k)) 0.0 else values(k)
-      u(k) = original(k)
+      u(k) = values(k)
       k += 1
     }
+    Fill.applyFirstGuess(u, mask, nx, ny, firstGuess)
     val sigmaSq = 2.0 * sigma * sigma
     // kernel: FFT uses wrapped frequencies; DCT non-negative ones
     val kernel = new Array[Double](nx * ny)
