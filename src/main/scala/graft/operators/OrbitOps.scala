@@ -48,11 +48,13 @@ object OrbitOps {
     */
   def swathPoints(spark: SparkSession, orbit: OrbitModel,
                   acrossTrackResolutionKm: Double = 2.0,
-                  halfSwathKm: Double = 70.0, halfGapKm: Double = 2.0)
+                  halfSwathKm: Double = 70.0, halfGapKm: Double = 2.0,
+                  insertCentralPixel: Boolean = false,
+                  requirementBounds: Option[(Double, Double)] = None)
       : DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(orbit)
-    spark.range(1, orbit.passesPerCycle + 1)
+    val rows = spark.range(1, orbit.passesPerCycle + 1)
       .as[Long]
       .flatMap { p =>
         OrbitEphemeris.calculatePass(p.toInt, bc.value) match {
@@ -60,14 +62,32 @@ object OrbitOps {
           case Some(pd) =>
             val (lon, lat, xAc) = OrbitEphemeris.calculateSwath(pd,
               acrossTrackResolutionKm, halfSwathKm, halfGapKm)
-            for {
+            val half = xAc.length / 2
+            val swath = for {
               i <- lon.indices.iterator
               j <- lon(i).indices.iterator
-            } yield (pd.passNumber, i, j, lon(i)(j), lat(i)(j), xAc(j),
-              pd.xAl(i), pd.time(i))
+            } yield (pd.passNumber,
+              i, if (insertCentralPixel && j >= half) j + 1 else j,
+              lon(i)(j), lat(i)(j), xAc(j), pd.xAl(i), pd.time(i))
+            // Swath.insert_central_pixel (`orbit.py:479-522`): a nadir
+            // column at x_ac = 0 splits the swath into its two halves
+            val central =
+              if (!insertCentralPixel) Iterator.empty
+              else pd.lonNadir.indices.iterator.map(i =>
+                (pd.passNumber, i, half, pd.lonNadir(i), pd.latNadir(i),
+                  0.0, pd.xAl(i), pd.time(i)))
+            swath ++ central
         }
       }
       .toDF("pass_number", "line", "pixel", "lon", "lat", "x_ac", "x_al",
         "time_s")
+    // Swath.mask (`orbit.py:456-478`): keep pixels whose |x_ac| is within
+    // the mission requirement bounds (the central pixel survives only
+    // when the lower bound is 0)
+    requirementBounds match {
+      case Some((lo, hi)) =>
+        rows.filter(abs(col("x_ac")) >= lo && abs(col("x_ac")) <= hi)
+      case None => rows
+    }
   }
 }
