@@ -34,6 +34,62 @@ object OrbitEphemeris {
       xAl: Array[Double])      // along-track distance (km)
       extends Serializable {
     def passesPerCycle: Int = passTime.length
+
+    /** Cycle duration = last sample time (`orbit.py:237-239`). */
+    def cycleDuration: Double = time.last
+
+    /** One orbital revolution (`orbit.py:251-263`: cycle / (n div 2)). */
+    def orbitDuration: Double = cycleDuration / (passesPerCycle / 2)
+
+    /** Duration of 1-based pass `number` (`orbit.py:282-305`; the last
+      * pass extends one sample step past the final time).
+      */
+    def passDuration(number: Int): Double = {
+      require(number >= 1 && number <= passesPerCycle, s"pass $number")
+      if (number == passesPerCycle)
+        time.last - passTime.last +
+          (if (time.length > 1) time(1) - time(0) else 0.0)
+      else passTime(number) - passTime(number - 1)
+    }
+
+    /** (cycle, pass) of a 1-based absolute pass number
+      * (`orbit.py:306-327`).
+      */
+    def decodeAbsolutePassNumber(number: Int): (Int, Int) = {
+      val n0 = number - 1
+      (n0 / passesPerCycle + 1, n0 % passesPerCycle + 1)
+    }
+
+    /** Absolute pass number of (cycle, pass) (`orbit.py:328-345`). */
+    def encodeAbsolutePassNumber(cycle: Int, pass: Int): Int = {
+      require(pass >= 1 && pass <= passesPerCycle, s"pass $pass")
+      (cycle - 1) * passesPerCycle + pass
+    }
+
+    /** Mean measurement spacing in seconds (`orbit.py:346-358`). */
+    def deltaT: Double =
+      if (time.length < 2) 0.0
+      else (time.last - time.head) / (time.length - 1)
+
+    /** Absolute pass numbers of every half-orbit intersecting
+      * [first, last) in absolute seconds (`orbit.py:359-399` iterate).
+      */
+    def iterate(first: Double, last: Double): Iterator[Int] = {
+      val cd = cycleDuration
+      // start one cycle early: a cycle's last pass can end after its
+      // nominal [.., c*cd) window
+      val c0 = math.max(1, (first / cd).toInt)
+      Iterator.from(c0).takeWhile(c => (c - 1) * cd < last).flatMap { c =>
+        (1 to passesPerCycle).iterator
+          .map(p => (c, p))
+          .filter { case (cc, p) =>
+            val start = (cc - 1) * cd + passTime(p - 1)
+            val end = start + passDuration(p)
+            end > first && start < last
+          }
+          .map { case (cc, p) => encodeAbsolutePassNumber(cc, p) }
+      }
+    }
   }
 
   final case class PassData(

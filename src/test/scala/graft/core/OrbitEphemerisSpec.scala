@@ -71,6 +71,42 @@ class OrbitEphemerisSpec extends AnyFunSuite {
     assert(math.abs(pd.latNadir(math.max(0, i - 1))) < 25.0)
   }
 
+  test("orbit model bookkeeping: durations, pass numbers, iterate") {
+    val (lon, lat, t) = ephemeris(1200, 10.0)
+    val orbit = OrbitEphemeris.calculateOrbit(500000.0, lon, lat, t,
+      alongTrackResolutionKm = 50.0, upsampleStep = 1e9)
+    val n = orbit.passesPerCycle
+    // pass durations tile [passTime(0), time.last + dt] (reference
+    // semantics: the last pass extends one sample step past the end)
+    val dt = orbit.time(1) - orbit.time(0)
+    val total = (1 to n).map(orbit.passDuration).sum
+    assert(math.abs(total -
+      (orbit.cycleDuration - orbit.passTime.head + dt)) < 1e-9, total)
+    assert(orbit.orbitDuration === orbit.cycleDuration / (n / 2))
+    // encode/decode round-trip across several cycles
+    for (abs <- Seq(1, n, n + 1, 3 * n + 2)) {
+      val (c, p) = orbit.decodeAbsolutePassNumber(abs)
+      assert(orbit.encodeAbsolutePassNumber(c, p) === abs)
+    }
+    assert(orbit.deltaT > 0.0)
+    // iterate over 2 full cycles yields 2n contiguous passes
+    val passes = orbit.iterate(0.0, 2.0 * orbit.cycleDuration).toSeq
+    assert(passes === (1 to 2 * n).toSeq, passes)
+    // every pass yielded for a narrow window genuinely overlaps it
+    // (cycle 1's final pass legitimately spills past the cycle boundary,
+    // so a window just after cd can still see it)
+    val w0 = orbit.cycleDuration + 1.0
+    val w1 = orbit.cycleDuration + 2.0
+    val inner = orbit.iterate(w0, w1).toSeq
+    assert(inner.nonEmpty)
+    inner.foreach { a =>
+      val (c, p) = orbit.decodeAbsolutePassNumber(a)
+      val start = (c - 1) * orbit.cycleDuration + orbit.passTime(p - 1)
+      val end = start + orbit.passDuration(p)
+      assert(end > w0 && start < w1, s"abs=$a [$start,$end)")
+    }
+  }
+
   test("swath pixels sit at the prescribed across-track distances") {
     val (lon, lat, t) = ephemeris(1200, 10.0)
     val orbit = OrbitEphemeris.calculateOrbit(500000.0, lon, lat, t,
