@@ -453,6 +453,23 @@ object SparkEntry {
       GridInterpolator.bivariate(s, probe, "x", "y", g, "bilinear")
         .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
     }),
+    "q_bilinear_biggrid" -> ((s, dir) => {
+      // grid-AS-TABLE path: same lattice as q_grid_ingest but interpolated
+      // via the distributed corner join — no driver collect, no broadcast
+      // of the lattice. Probes sit at half-cell offsets so every bilinear
+      // weight is exactly 0.25 and the sum is fp-exact in any order.
+      val gridTable = s.range(41L * 41L).select(
+        floor(col("id") / 41).cast("double").as("lon"),
+        (col("id") % 41).cast("double").as("lat"),
+        ((floor(col("id") / 41) * 31 + (col("id") % 41) * 17) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 40).cast("double") + 0.5).as("x"),
+        ((col("o_orderkey") * 7 % 40).cast("double") + 0.5).as("y"))
+      GridInterpolator.bivariateTable(s, probe, "x", "y", gridTable)
+        .select(col("o_orderkey"), col("value").as("interp"))
+    }),
     "q_bicubic_mid" -> ((s, dir) => {
       // OFF-node bicubic oracle: at a fixed half-cell offset the windowed
       // bicubic is a constant 6x6 stencil (the kernel is linear in z);
@@ -746,7 +763,7 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
         .filter(col("doc_id") < 200)
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
-          threshold = 0.2)
+          threshold = 0.2, allPairs = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jac"))
     }),
     "q_minhash_lsh" -> ((s, dir) => {
@@ -788,6 +805,18 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.lshTopK(items, queries, k = 5, planes = 6, tables = 4)
+    }),
+    "q_ann_lsh_big_probe" -> ((s, dir) => {
+      // item↔item self-ANN: the query side IS the item table, so the
+      // broadcast plan is size-gated OFF (broadcastQueryBytes = 0 forces
+      // the shuffle equi-join path — the 100-TB-shaped plan); buckets are
+      // engine-specific -> rows-only check, recall@5 measured in Bench
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val items = emb.select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.lshTopK(items, queries, k = 5, planes = 6, tables = 4,
+          broadcastQueryBytes = 0L)
+        .select(col("qid"), col("id"), col("rank"))
     }),
     "q_embedding_neardup" -> ((s, dir) => {
       // the fixture vectors are near-orthogonal (max pair cosine ~0.4),
@@ -1066,22 +1095,33 @@ object SparkEntry {
           col("neighbors"))
     }),
     "q_optimal_interpolation" -> ((s, dir) => {
+      // coincident-probe BLUE identity (exact oracle): with probe ≡ one
+      // observation, PD kernel, DISTINCT obs points and zero observation
+      // noise, w = e_i solves (C_oo) w = c_og, so the analysis returns
+      // value_i exactly and the formal error sigma2 - c^T w collapses to 0
+      // (`pyinterp/optimal_interpolation.py:122-153` algebra)
       val part = s.read.parquet(t(dir, "part")).filter(col("p_partkey") < 400)
       val supp = s.read.parquet(t(dir, "supplier"))
       val build = part.select(
         (col("p_partkey") % 20).cast("double").as("x"),
-        (col("p_partkey") * 13 % 20).cast("double").as("y"),
-        ((col("p_partkey") % 20) * 0.5).cast("double").as("value"),
+        floor(col("p_partkey") / 20).cast("int").mod(20).cast("double").as("y"),
+        ((col("p_partkey") % 20).cast("double") +
+          floor(col("p_partkey") / 20).cast("int").mod(20).cast("double"))
+          .as("value"),
         col("p_partkey").as("id"))
       val probe = supp.select(col("s_suppkey").as("qid"),
-        ((col("s_suppkey") % 15).cast("double") + 0.5).as("x"),
-        ((col("s_suppkey") * 3 % 15).cast("double") + 0.5).as("y"))
+        (col("s_suppkey") % 20).cast("double").as("x"),
+        floor(col("s_suppkey") / 20).cast("int").mod(20).cast("double")
+          .as("y"))
       KnnJoin.optimalInterpolation(s, build, probe,
         KnnJoin.Config(k = 16, geodetic = false, broadcastThreshold = 0L,
           precision = 8),
         sigma2 = 1.0,
-        lengthScales = Array(3.0, 3.0), obsSigma2 = 0.01)
-        .select(col("qid"), round(col("value"), 4).as("oi_value"),
+        lengthScales = Array(1.5, 1.5), obsSigma2 = 0.0)
+        // + 0.0 folds a possible round(-1e-12) = -0.0 back to 0.0 (the
+        // DuckDB-vs-Spark negative-zero hash trap)
+        .select(col("qid"), (round(col("value"), 4) + 0.0).as("oi_value"),
+          round(col("error_variance"), 4).as("oi_err"),
           col("neighbors"))
     }),
 
@@ -1226,6 +1266,16 @@ object SparkEntry {
           | CAST(16 AS INT) AS neighbors
           |FROM supplier""".stripMargin.replace("\n", " "),
 
+      // coincident-probe BLUE identity: probe ≡ obs_i with zero obs noise
+      // and PD kernel returns value_i = x + y exactly, error variance 0
+      "q_optimal_interpolation" ->
+        """SELECT s_suppkey AS qid,
+          | round(CAST(s_suppkey % 20 + (s_suppkey // 20) % 20 AS DOUBLE), 4)
+          |   AS oi_value,
+          | CAST(0.0 AS DOUBLE) AS oi_err,
+          | CAST(16 AS INT) AS neighbors
+          |FROM supplier""".stripMargin.replace("\n", " "),
+
       // RBF interpolation is exact at build nodes; probes are nodes
       "q_rbf" ->
         """SELECT s_suppkey AS qid,
@@ -1269,6 +1319,19 @@ object SparkEntry {
           | round(CAST(((o_orderkey % 41) * 31 + (o_orderkey * 7 % 41) * 17)
           |   % 97 AS DOUBLE), 9) AS interp
           |FROM orders""".stripMargin.replace("\n", " "),
+
+      // half-cell probes: bilinear = mean of the 4 corner values, exact in
+      // fp regardless of summation order
+      "q_bilinear_biggrid" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 40 AS INT) AS i0,
+          |  CAST(o_orderkey * 7 % 40 AS INT) AS j0 FROM orders)
+          |SELECT o_orderkey,
+          | (CAST((i0*31 + j0*17) % 97 AS DOUBLE)
+          |  + CAST((i0*31 + (j0+1)*17) % 97 AS DOUBLE)
+          |  + CAST(((i0+1)*31 + j0*17) % 97 AS DOUBLE)
+          |  + CAST(((i0+1)*31 + (j0+1)*17) % 97 AS DOUBLE)) / 4.0 AS interp
+          |FROM p""".stripMargin.replace("\n", " "),
 
       "q_akima_nodes" ->
         """SELECT o_orderkey,

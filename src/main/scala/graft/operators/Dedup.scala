@@ -127,21 +127,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact pairwise n-gram Jaccard for a (small) candidate id set, or
-    * all-pairs when `candidates` is empty — the verification kernel.
+  /** Exact pairwise n-gram Jaccard — the VERIFICATION kernel, not a
+    * discovery operator. Two safe call shapes:
+    *
+    *  - `candidates = Some(pairs)` (id_a, id_b): score only those pairs —
+    *    the shape LSH discovery feeds (candidate count bounds the work).
+    *  - `candidates = None` requires `allPairs = true` AND the input's
+    *    optimizer size estimate under `maxAllPairsRows` rows — an O(N²)
+    *    crossJoin can no longer be planned by accident at scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3,
-                        threshold: Double = 0.0): DataFrame = {
+                        threshold: Double = 0.0,
+                        candidates: Option[DataFrame] = None,
+                        allPairs: Boolean = false,
+                        maxAllPairsRows: Long = 100000L): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+    val jac = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+    val pairs = candidates match {
+      case Some(cand) =>
+        cand.select(col("id_a"), col("id_b"))
+          .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+            "id_a")
+          .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            "id_b")
+      case None =>
+        require(allPairs, "ngramJaccardPairs without candidates is O(N²); " +
+          "pass candidates (e.g. from minhashLsh/simhash) or set " +
+          "allPairs = true for a small verification fixture")
+        // no counting scan: gate on Catalyst's size estimate (~1 KiB/doc
+        // floor keeps tiny-stats tables honest)
+        val estRows = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+          BigInt(64)
+        require(estRows <= BigInt(maxAllPairsRows),
+          s"all-pairs n-gram Jaccard refused: ~$estRows rows estimated > " +
+            s"maxAllPairsRows=$maxAllPairsRows")
+        val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    }
+    pairs.select(col("id_a"), col("id_b"), jac)
       .filter(col("jaccard") >= threshold)
   }
 

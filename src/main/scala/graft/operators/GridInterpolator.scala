@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, floor, lit}
+import org.apache.spark.sql.functions.{array, coalesce, col, count, explode,
+  floor, least, lit, monotonically_increasing_id, round, struct, sum, when}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import graft.core.{Axis, Bicubic, Boundary, Interpolate}
@@ -114,6 +115,93 @@ object GridInterpolator {
         Row.fromSeq(row.toSeq :+ interp(x, y))
       }
     }(enc)
+  }
+
+  /** Grid-as-table bilinear interpolation — the big-grid path (SURVEY
+    * §1.1 row 3; reference behavior `pybind/geometric/bivariate.hpp:
+    * 48-97` over grids the reference memory-maps,
+    * `pyinterp/backends/xarray.py:582-688`): the lattice is NEVER
+    * collected or broadcast. Axis roles are inferred like `GridLoader`;
+    * only the O(nx + ny) distinct axis values reach the driver. Each probe
+    * row fans out to its 4 bracketing corners (pure column arithmetic), a
+    * shuffle equi-join on the (ix, iy) corner key pulls the corner values
+    * from the cell table, and a groupBy reassembles sum(w·z) — two keyed
+    * shuffles, no driver state, AQE-skew-safe. Probes outside the axes, or
+    * probes with a masked/missing corner cell, yield NaN — the broadcast
+    * path's semantics.
+    *
+    * Requires regular, ascending, non-periodic axes (the common shape of
+    * lattices too large to broadcast); irregular or periodic grids belong
+    * on the broadcast path (`GridLoader.grid2d` + [[bivariate]]).
+    */
+  def bivariateTable(spark: SparkSession, probe: DataFrame, xCol: String,
+                     yCol: String, gridTable: DataFrame,
+                     valueCol: String = "",
+                     outputCol: String = "value"): DataFrame = {
+    import graft.sources.GridLoader
+    val roles = GridLoader.identifyAxes(gridTable)
+    val lonCol = roles.lon.getOrElse(
+      throw new IllegalArgumentException("no longitude/x axis identified"))
+    val latCol = roles.lat.getOrElse(
+      throw new IllegalArgumentException("no latitude/y axis identified"))
+    val vCol =
+      if (valueCol.nonEmpty) valueCol
+      else gridTable.schema.fields.map(_.name)
+        .filterNot(n => n == lonCol || n == latCol).headOption
+        .getOrElse(throw new IllegalArgumentException("no value column"))
+    val xAxis = GridLoader.axisOf(gridTable, lonCol)
+    val yAxis = GridLoader.axisOf(gridTable, latCol)
+    require(xAxis.isRegular && yAxis.isRegular && xAxis.size >= 2 &&
+      yAxis.size >= 2 && !xAxis.isPeriodic && !yAxis.isPeriodic &&
+      xAxis.front < xAxis.back && yAxis.front < yAxis.back,
+      "bivariateTable requires regular ascending non-periodic axes; load " +
+        "irregular/periodic grids through GridLoader.grid2d (broadcast)")
+
+    // distributed cell table keyed by integer lattice indices
+    val cells = gridTable.select(
+      round((col(lonCol).cast("double") - lit(xAxis.front)) /
+        lit(xAxis.step)).cast("int").as("_ci"),
+      round((col(latCol).cast("double") - lit(yAxis.front)) /
+        lit(yAxis.step)).cast("int").as("_cj"),
+      col(vCol).cast("double").as("_z"))
+
+    val withId = probe.withColumn("_rid", monotonically_increasing_id())
+    val fx = (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
+    val fy = (col(yCol).cast("double") - lit(yAxis.front)) / lit(yAxis.step)
+    // right-edge-inclusive bracket (findIndexes semantics); out-of-range
+    // probes emit no corner rows and surface as NaN after the left join
+    val p = withId
+      .withColumn("_fx", fx).withColumn("_fy", fy)
+      .withColumn("_i0",
+        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_j0",
+        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+      .withColumn("_tx", col("_fx") - col("_i0"))
+      .withColumn("_ty", col("_fy") - col("_j0"))
+      .filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
+        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble))
+    val corners = p.select(col("_rid"), explode(array(
+        struct(col("_i0").as("_ci"), col("_j0").as("_cj"),
+          ((lit(1.0) - col("_tx")) * (lit(1.0) - col("_ty"))).as("_w")),
+        struct(col("_i0").as("_ci"), (col("_j0") + 1).as("_cj"),
+          ((lit(1.0) - col("_tx")) * col("_ty")).as("_w")),
+        struct((col("_i0") + 1).as("_ci"), col("_j0").as("_cj"),
+          (col("_tx") * (lit(1.0) - col("_ty"))).as("_w")),
+        struct((col("_i0") + 1).as("_ci"), (col("_j0") + 1).as("_cj"),
+          (col("_tx") * col("_ty")).as("_w")))).as("_c"))
+      .select(col("_rid"), col("_c._ci").as("_ci"), col("_c._cj").as("_cj"),
+        col("_c._w").as("_w"))
+    // inner corner join + 4-corner completeness check: a masked cell
+    // (absent lattice row) NaNs the probe, like the dense grid's NaN cells
+    val agg = corners.join(cells, Seq("_ci", "_cj"))
+      .groupBy("_rid")
+      .agg(sum(col("_w") * col("_z")).as("_v"), count(lit(1)).as("_n"))
+      .select(col("_rid"),
+        when(col("_n") === 4, col("_v")).otherwise(lit(Double.NaN)).as("_v"))
+    withId.join(agg, Seq("_rid"), "left")
+      .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
+      .drop("_rid", "_v")
   }
 
   /** Univariate interpolation / derivative over a broadcast 1-D grid —

@@ -45,6 +45,15 @@ object KnnJoin {
     * neighborhood empties the result (interpolators yield NaN + 0
     * neighbors).
     */
+  /** `broadcastThreshold` is a ROW-count threshold applied to Catalyst's
+    * optimizer BYTE estimate at ~32 bytes/row (no counting scan; 0 forces
+    * shuffle, Long.MaxValue forces broadcast). Because a post-filter
+    * estimate is a selectivity heuristic that can undershoot,
+    * `maxBroadcastRows` is the HARD safety cap actually enforced at
+    * collect time: the broadcast path collects at most that many rows and
+    * falls over to the shuffle path if the limit is hit — the driver can
+    * never be asked to hold an arbitrarily large build side.
+    */
   final case class Config(
       k: Int = 8,
       radius: Double = Double.PositiveInfinity,
@@ -55,7 +64,8 @@ object KnnJoin {
       windowKernel: String = "blackman",
       windowArg: Double = 0.0,
       saltFactor: Int = 1,
-      boundaryCheck: String = "none")
+      boundaryCheck: String = "none",
+      maxBroadcastRows: Long = 4000000L)
 
   case class BuildRow(cell: Long, cx: Double, cy: Double, cz: Double,
                       value: Double, id: Long)
@@ -145,6 +155,18 @@ object KnnJoin {
       bytes <= BigInt(cfg.broadcastThreshold) * 32
     }
 
+  /** Hard safety cap behind the no-scan estimate: collect at most cap+1
+    * rows. If the limit is hit the estimate undershot (post-filter
+    * selectivity lies) and the caller MUST fall over to the shuffle path.
+    * When fewer than cap+1 rows come back they ARE the complete build side
+    * (the limit was not the binding constraint), so no second scan runs.
+    */
+  private def collectCapped[T](ds: Dataset[T], cap: Long): Option[Array[T]] = {
+    val lim = math.min(cap, Int.MaxValue.toLong - 2L).toInt
+    val a = ds.limit(lim + 1).collect()
+    if (a.length > lim) None else Some(a)
+  }
+
   def neighbors(spark: SparkSession, build: DataFrame, probe: DataFrame,
                 cfg: Config): Dataset[KnnNeighbors] = {
     import spark.implicits._
@@ -155,9 +177,13 @@ object KnnJoin {
     val buildTyped = toBuildTyped(spark, build, geodetic, prec)
     val probeTyped = toProbeTyped(spark, probe, geodetic, prec)
 
-    if (useBroadcast(build, cfg)) {
+    val collected =
+      if (useBroadcast(build, cfg))
+        collectCapped(buildTyped, cfg.maxBroadcastRows)
+      else None
+    if (collected.isDefined) {
       // broadcast path: zero shuffle, every partition probes a shared tree
-      val pts = buildTyped.collect()
+      val pts = collected.get
       val tree = KdTree.build(pts.iterator.map { b =>
         (if (dims == 3) Array(b.cx, b.cy, b.cz) else Array(b.cx, b.cy),
           b.value, b.id)
@@ -258,12 +284,15 @@ object KnnJoin {
     import spark.implicits._
     val dims = if (cfg.geodetic) 3 else 2
     val geodetic = cfg.geodetic
-    if (useBroadcast(build, cfg)) {
-      val pts = build
-        .select(col("x").cast("double"), col("y").cast("double"),
-          col("value").cast("double"), col("id").cast("long"))
-        .as[(Double, Double, Double, Long)]
-        .collect()
+    val collected =
+      if (useBroadcast(build, cfg))
+        collectCapped(build
+          .select(col("x").cast("double"), col("y").cast("double"),
+            col("value").cast("double"), col("id").cast("long"))
+          .as[(Double, Double, Double, Long)], cfg.maxBroadcastRows)
+      else None
+    if (collected.isDefined) {
+      val pts = collected.get
       val tree = KdTree.build(pts.iterator.map { case (x, y, v, id) =>
         (if (geodetic) { val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0)
           Array(a, b, c) } else Array(x, y), v, id)
@@ -550,12 +579,15 @@ object KnnJoin {
     val prec = cfg.precision
     val k = cfg.k
     val radius = cfg.radius
-    if (useBroadcast(build, cfg)) {
-      val pts = build
-        .select(col("x").cast("double"), col("y").cast("double"),
-          col("value").cast("double"), col("id").cast("long"))
-        .as[(Double, Double, Double, Long)]
-        .collect()
+    val collected =
+      if (useBroadcast(build, cfg))
+        collectCapped(build
+          .select(col("x").cast("double"), col("y").cast("double"),
+            col("value").cast("double"), col("id").cast("long"))
+          .as[(Double, Double, Double, Long)], cfg.maxBroadcastRows)
+      else None
+    if (collected.isDefined) {
+      val pts = collected.get
       val tree = KdTree.build(pts.iterator.map { case (x, y, v, id) =>
         (if (geodetic) { val (a, b, c) = Geodesy.llaToEcef(x, y, 0.0)
           Array(a, b, c) } else Array(x, y), v, id)

@@ -94,9 +94,19 @@ object Similarity {
     * once), then exact cosine + per-query top-k. More tables → higher
     * recall at linearly more candidate-join traffic; 2^planes buckets
     * per table bounds bucket size.
+    *
+    * Broadcast-vs-shuffle is chosen by the QUERY side's optimizer size
+    * estimate (no counting scan — same gate as `KnnJoin.useBroadcast`):
+    * below `broadcastQueryBytes` the query side and the (queries×tables)-
+    * bounded candidate set are broadcast (zero shuffle on the item side);
+    * above it — the item↔item self-ANN shape, queries ≈ items — the plan
+    * falls back to plain shuffle equi-joins on (tbl, bucket) / qid / id,
+    * which scales to any query-set size. `broadcastQueryBytes = 0` forces
+    * the shuffle plan outright.
     */
   def lshTopK(items: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-              tables: Int = 4, seed: Long = 42L): DataFrame = {
+              tables: Int = 4, seed: Long = 42L,
+              broadcastQueryBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dims = dimsOf(items)
     def bucketed(df: DataFrame, idCol: String): DataFrame =
@@ -106,18 +116,31 @@ object Similarity {
           .as(Seq("tbl", "bucket")))
     val bi = bucketed(items, "id")
     val bq = bucketed(queries, "qid")
-    // the query side is the small side by construction: broadcast it
-    // through the bucket join, and broadcast the (queries x tables)-
-    // bounded candidate set into the embedding lookups
-    val candidates = bi.join(broadcast(bq), Seq("tbl", "bucket"))
-      .select("qid", "id").distinct()
-    val joined = broadcast(candidates)
-      .join(broadcast(queries.select(col("qid"), col("embedding").as("qe"))),
-        "qid")
-      .join(items.select(col("id"), col("embedding").as("ie")), "id")
-      .select(col("qid"), col("id"),
-        cosine(col("qe").cast("array<double>"),
-          col("ie").cast("array<double>")).as("cosine"))
+    val smallQueries = broadcastQueryBytes > 0L &&
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(broadcastQueryBytes)
+    val joined =
+      if (smallQueries) {
+        val candidates = bi.join(broadcast(bq), Seq("tbl", "bucket"))
+          .select("qid", "id").distinct()
+        broadcast(candidates)
+          .join(
+            broadcast(queries.select(col("qid"), col("embedding").as("qe"))),
+            "qid")
+          .join(items.select(col("id"), col("embedding").as("ie")), "id")
+          .select(col("qid"), col("id"),
+            cosine(col("qe").cast("array<double>"),
+              col("ie").cast("array<double>")).as("cosine"))
+      } else {
+        val candidates = bi.join(bq, Seq("tbl", "bucket"))
+          .select("qid", "id").distinct()
+        candidates
+          .join(queries.select(col("qid"), col("embedding").as("qe")), "qid")
+          .join(items.select(col("id"), col("embedding").as("ie")), "id")
+          .select(col("qid"), col("id"),
+            cosine(col("qe").cast("array<double>"),
+              col("ie").cast("array<double>")).as("cosine"))
+      }
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("id").asc)
     joined.withColumn("rank", row_number().over(w))

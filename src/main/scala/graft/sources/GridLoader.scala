@@ -16,8 +16,11 @@ import graft.operators.{Grid2D, Grid3D}
   *
   * The lattice VALUES are collected to the driver — a grid is broadcast
   * metadata for the interpolation map stage (same memory contract as the
-  * reference's in-memory xarray grids); the table itself can be any size
-  * before the final `select` projection.
+  * reference's in-memory xarray grids). The contract is ENFORCED: a
+  * Catalyst size estimate gates the collect (`maxCollectBytes`, default
+  * [[DefaultMaxCollectBytes]]) and oversized lattices fail fast with a
+  * pointer to the grid-as-table join path
+  * (`GridInterpolator.bivariateTable`), which never leaves the cluster.
   */
 object GridLoader {
 
@@ -53,17 +56,44 @@ object GridLoader {
     AxisRoles(lon, lat, time)
   }
 
-  private def axisOf(df: DataFrame, colName: String): Axis = {
+  /** Distinct sorted coordinate values of one axis — O(axis length)
+    * driver memory (the square root of the lattice size), never the
+    * lattice itself.
+    */
+  private[graft] def axisOf(df: DataFrame, colName: String): Axis = {
     val values = df.select(col(colName).cast("double")).distinct()
       .orderBy(col(colName).cast("double"))
       .collect().map(_.getDouble(0))
     Axis(values)
   }
 
+  /** Default byte budget for collecting a lattice to the driver (the
+    * broadcast-grid contract). Above it [[grid2d]]/[[grid3d]] fail fast —
+    * use `GridInterpolator.bivariateTable`, which interpolates via a
+    * distributed corner join and never materializes the lattice.
+    */
+  val DefaultMaxCollectBytes: Long = 256L << 20
+
+  /** Fail fast BEFORE collecting an oversized lattice: the gate uses
+    * Catalyst's optimizer size estimate (file statistics — no scan), the
+    * same no-count gate as `KnnJoin.useBroadcast`.
+    */
+  private def gateCollect(df: DataFrame, maxBytes: Long, what: String): Unit = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= BigInt(maxBytes),
+      s"$what: estimated table size $est B exceeds the driver-collect " +
+        s"budget $maxBytes B; this grid is broadcast metadata and must fit " +
+        "in driver/executor memory. For larger grids use " +
+        "GridInterpolator.bivariateTable (grid-as-table corner join) or " +
+        "raise maxCollectBytes explicitly.")
+  }
+
   /** Load a 2-D grid: axis roles inferred, value column given (or the
     * single non-axis numeric column).
     */
-  def grid2d(df: DataFrame, valueCol: String = ""): Grid2D = {
+  def grid2d(df: DataFrame, valueCol: String = "",
+             maxCollectBytes: Long = DefaultMaxCollectBytes): Grid2D = {
+    gateCollect(df, maxCollectBytes, "GridLoader.grid2d")
     val roles = identifyAxes(df)
     val lonCol = roles.lon.getOrElse(
       throw new IllegalArgumentException("no longitude/x axis identified"))
@@ -94,7 +124,9 @@ object GridLoader {
 
   /** Load a 3-D grid (lon, lat, time-or-z). */
   def grid3d(df: DataFrame, zColName: String = "",
-             valueCol: String = ""): Grid3D = {
+             valueCol: String = "",
+             maxCollectBytes: Long = DefaultMaxCollectBytes): Grid3D = {
+    gateCollect(df, maxCollectBytes, "GridLoader.grid3d")
     val roles = identifyAxes(df)
     val lonCol = roles.lon.getOrElse(
       throw new IllegalArgumentException("no longitude/x axis identified"))

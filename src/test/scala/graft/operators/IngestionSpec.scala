@@ -80,6 +80,59 @@ class IngestionSpec extends AnyFunSuite {
     assert(out(1L) === 12)
   }
 
+  test("grid2d size gate fails fast on oversized lattices (no collect)") {
+    // in-memory range: optimizer stats know the size without any scan
+    val big = spark.range(200000L).select(
+      (col("id") % 1000).cast("double").as("lon"),
+      floor(col("id") / 1000).cast("double").as("lat"),
+      col("id").cast("double").as("sst"))
+    val err = intercept[IllegalArgumentException] {
+      GridLoader.grid2d(big, maxCollectBytes = 1024L)
+    }
+    assert(err.getMessage.contains("bivariateTable"))
+    // generous budget still loads fine
+    val small = spark.range(16L).select(
+      (col("id") % 4).cast("double").as("lon"),
+      floor(col("id") / 4).cast("double").as("lat"),
+      col("id").cast("double").as("sst"))
+    assert(GridLoader.grid2d(small).xAxis.size === 4)
+  }
+
+  test("bivariateTable (grid-as-table join) ≡ broadcast bilinear") {
+    val n = 21
+    val gridTable = spark.range(n.toLong * n).select(
+      floor(col("id") / n).cast("double").as("lon"),
+      (col("id") % n).cast("double").as("lat"),
+      ((floor(col("id") / n) * 13 + (col("id") % n) * 7) % 31)
+        .cast("double").as("sst"))
+      // mask one interior cell: probes touching it must NaN on BOTH paths
+      .filter(!(col("lon") === 5.0 && col("lat") === 5.0))
+    val probes = (0 until 300).map { k =>
+      // deterministic scattered probes incl. out-of-range and masked-cell
+      val x = (k * 37 % 230) / 10.0 - 1.0   // -1.0 .. 21.9
+      val y = (k * 53 % 230) / 10.0 - 1.0
+      (k.toLong, x, y)
+    }.toDF("qid", "x", "y")
+    val viaTable = GridInterpolator
+      .bivariateTable(spark, probes, "x", "y", gridTable)
+      .select(col("qid"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g = GridLoader.grid2d(gridTable)
+    val viaBroadcast = GridInterpolator
+      .bivariate(spark, probes, "x", "y", g, "bilinear")
+      .select(col("qid"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaTable.keySet === viaBroadcast.keySet)
+    var nans = 0
+    viaTable.foreach { case (qid, v) =>
+      val b = viaBroadcast(qid)
+      if (v.isNaN || b.isNaN) { assert(v.isNaN === b.isNaN, s"qid $qid"); nans += 1 }
+      else assert(math.abs(v - b) <= 1e-12, s"qid $qid: $v vs $b")
+    }
+    assert(nans > 0, "fixture must exercise NaN (out-of-range/masked) rows")
+    assert(viaTable.values.exists(v => !v.isNaN))
+  }
+
   test("state serialization round-trips (KdTree, Grid2D, TemporalAxis)") {
     def rt[T <: Serializable](v: T): T = {
       val bos = new java.io.ByteArrayOutputStream()
