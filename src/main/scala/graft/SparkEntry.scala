@@ -284,13 +284,27 @@ object SparkEntry {
           col("d.min").as("min_v"), col("d.max").as("max_v"))
     }),
     "q_tdigest_quantiles" -> ((s, dir) => {
-      // quantile values are algorithm-specific -> rows-only check
+      // TOLERANCE oracle through an exact-hash compare: Spark checks its
+      // own sketch against Spark's EXACT order statistics (percentile) and
+      // emits boolean flags; the oracle emits literal TRUE — the hash
+      // matches iff every t-digest quantile is within 1% of the value
+      // range of the exact quantile (reference tolerance style,
+      // `tests/core/test_tdigest.py`). count stays an exact field.
       val li = s.read.parquet(t(dir, "lineitem"))
+      val rtol = 0.01
       li.agg(aggregators.tdigest_agg(col("l_extendedprice"),
-          Seq(0.25, 0.5, 0.75)).as("d"))
+            Seq(0.25, 0.5, 0.75)).as("d"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+            .as("ex"),
+          min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
         .select(col("d.count").as("cnt"),
-          col("d.quantiles")(0).as("q25"), col("d.quantiles")(1).as("q50"),
-          col("d.quantiles")(2).as("q75"))
+          (abs(col("d.quantiles")(0) - col("ex")(0)) <=
+            (col("mx") - col("mn")) * rtol).as("q25_ok"),
+          (abs(col("d.quantiles")(1) - col("ex")(1)) <=
+            (col("mx") - col("mn")) * rtol).as("q50_ok"),
+          (abs(col("d.quantiles")(2) - col("ex")(2)) <=
+            (col("mx") - col("mn")) * rtol).as("q75_ok"))
     }),
 
     // ======== cell codec (§2.7) ========
@@ -895,6 +909,42 @@ object SparkEntry {
         .select(col("pass_number"), col("n_points"),
           round(col("equator_lon"), 3).as("eq_lon"),
           round(col("equator_time"), 1).as("eq_time"))
+    }),
+    "q_orbit_analytic" -> ((s, dir) => {
+      // closed-form orbit-catalog oracle (VERDICT r2 item 4): the
+      // synthetic ephemeris is an analytic inclined circular orbit
+      // (i = 66°, T = 6000 s) under uniform Earth rotation, so every
+      // equator crossing sits at t = 3000·k s with longitude
+      // (k odd ? 180 : 0) − t·360/86400 (`orbit.py:158-163` semantics).
+      // The Spark side checks its spline-pipeline catalog against those
+      // closed forms and emits booleans; the oracle emits literal TRUE —
+      // the hash matches iff every crossing is on the analytic track
+      // (tol 0.01°, 1 s). Swath checks: the x_ac grid equals the
+      // constructed ±{10..60} km set exactly and no pixel exceeds the
+      // inclination + half-swath latitude bound.
+      val orbit = SparkEntry.syntheticOrbit(s, dir)
+      val cat = OrbitOps.passCatalog(s, orbit)
+      val er = 360.0 / 86400.0
+      val k = round(col("equator_time") / 3000.0)
+      val analytic = when(pmod(k.cast("long"), lit(2L)) === 1L, 180.0)
+        .otherwise(0.0) - col("equator_time") * er
+      val dRaw = analytic - col("equator_lon")
+      val dNorm = abs(dRaw - round(dRaw / 360.0) * 360.0)
+      val catFlags = cat.agg(
+        (coalesce(max(when(!isnan(col("equator_lon")), dNorm)), lit(0.0))
+          <= 0.01).as("lons_ok"),
+        (coalesce(max(when(!isnan(col("equator_time")),
+          abs(col("equator_time") - round(col("equator_time") / 3000.0)
+            * 3000.0))), lit(0.0)) <= 1.0).as("times_ok"),
+        (count(lit(1)) >= 1).as("has_pass"))
+      val sw = OrbitOps.swathPoints(s, orbit, acrossTrackResolutionKm = 10.0,
+        halfSwathKm = 60.0, halfGapKm = 10.0)
+      val expectedXac = ((-6 to -1) ++ (1 to 6)).map(_ * 10000.0)
+      val swFlags = sw.agg(
+        (sort_array(collect_set(col("x_ac"))) ===
+          typedLit(expectedXac)).as("xac_grid_ok"),
+        (max(abs(col("lat"))) <= 67.0).as("swath_lat_ok"))
+      catFlags.crossJoin(swFlags)
     }),
     "q_orbit_swath" -> ((s, dir) => {
       // calculate_swath fan-out: one row per (pass, line, pixel);
@@ -1576,6 +1626,18 @@ object SparkEntry {
           | CAST(l_suppkey % 8 AS INT) AS iy, COUNT(*) AS cnt,
           | MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v
           |FROM lineitem GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+      // analytic-orbit consistency oracle: all flags must come back TRUE
+      "q_orbit_analytic" ->
+        ("SELECT TRUE AS lons_ok, TRUE AS times_ok, TRUE AS has_pass, " +
+          "TRUE AS xac_grid_ok, TRUE AS swath_lat_ok"),
+
+      // tolerance oracle: the Spark side emits "sketch within 1%-of-range
+      // of Spark's exact percentile" booleans; hashes match iff all TRUE
+      "q_tdigest_quantiles" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          | TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+          |FROM lineitem""".stripMargin.replace("\n", " "),
 
       "q_geohash_encode" ->
         s"""SELECT event_id, ${geohashSql(lonSql.format("user_id"),

@@ -162,7 +162,18 @@ object Geodesics {
     */
   def vincenty(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
                s: Spheroid = Spheroid.Wgs84, maxIter: Int = 100,
-               fixedIterations: Int = 0): Inverse = {
+               fixedIterations: Int = 0): Inverse =
+    vincentyImpl(lon1, lat1, lon2, lat2, s, maxIter, fixedIterations)._1
+
+  /** Like [[vincenty]] but also reports CONVERGENCE: false when the λ
+    * iteration was still moving ≥1e-12 at the cap (the silent-wrong-answer
+    * region just outside any fixed near-antipodal gate). [[karney]] routes
+    * those to [[shootingInverse]]. `fixedIterations > 0` counts as
+    * converged by definition (deterministic-SQL mode).
+    */
+  private[core] def vincentyImpl(lon1: Double, lat1: Double, lon2: Double,
+               lat2: Double, s: Spheroid = Spheroid.Wgs84, maxIter: Int = 100,
+               fixedIterations: Int = 0): (Inverse, Boolean) = {
     val f = s.f
     val lRad = math.toRadians(normLonDiff(lon2 - lon1))
     val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
@@ -187,7 +198,7 @@ object Geodesics {
       sinSigma = math.sqrt(t1 * t1 + t2 * t2)
       cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
       sigma = math.atan2(sinSigma, cosSigma)
-      if (sinSigma == 0.0) return Inverse(0.0, 0.0, 0.0) // coincident
+      if (sinSigma == 0.0) return (Inverse(0.0, 0.0, 0.0), true) // coincident
       sinAlpha = cosU1 * cosU2 * sinLam / sinSigma
       cos2Alpha = 1.0 - sinAlpha * sinAlpha
       cos2Sm =
@@ -217,7 +228,8 @@ object Geodesics {
       cosU1 * sinU2 - sinU1 * cosU2 * cosLam)
     val az2 = math.atan2(cosU1 * sinLam,
       -sinU1 * cosU2 + cosU1 * sinU2 * cosLam)
-    Inverse(dist, math.toDegrees(az1), math.toDegrees(az2))
+    (Inverse(dist, math.toDegrees(az1), math.toDegrees(az2)),
+      done || fixedIterations > 0)
   }
 
   /** Robust inverse: Vincenty with a raised iteration cap everywhere it
@@ -231,7 +243,14 @@ object Geodesics {
              s: Spheroid = Spheroid.Wgs84): Inverse = {
     val dl = math.abs(normLonDiff(lon2 - lon1))
     val nearAntipodal = dl > 179.5 && math.abs(lat1 + lat2) < 0.5
-    if (!nearAntipodal) vincenty(lon1, lat1, lon2, lat2, s, 200)
+    if (!nearAntipodal) {
+      // CONVERGENCE-based routing (not just the fixed angular box): a
+      // capped-but-still-moving λ iteration is a silently wrong distance,
+      // so those cases go through the exact shooting solver too
+      val (res, converged) = vincentyImpl(lon1, lat1, lon2, lat2, s, 200)
+      if (converged) res
+      else shootingInverse(lon1, lat1, lon2, lat2, s).getOrElse(res)
+    }
     else shootingInverse(lon1, lat1, lon2, lat2, s).getOrElse {
       val u1 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat1)))
       val u2 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat2)))

@@ -352,13 +352,21 @@ object OrbitEphemeris {
       val p = if (i1 < lat.length - 1) (i1, i1 + 1) else (i1 - 1, i1)
       i0 = p._1; i1 = p._2
     } else if (i0 > i1) { val t = i0; i0 = i1; i1 = t }
+    // unwrap lon(i1) relative to lon(i0) before the planar intersection: a
+    // pass crossing the equator near ±180 would otherwise be a ~360°-wide
+    // planar segment with a spurious crossing near lon 0 (the geographic
+    // intersection the reference uses is wrap-aware)
+    val lon1u = lon(i1) -
+      360.0 * math.round((lon(i1) - lon(i0)) / 360.0).toDouble
     val hit = graft.operators.Crossover.segmentIntersection(
-      lon(i0), lat(i0), lon(i1), lat(i1),
-      lon(i0) - 0.5, 0.0, lon(i1) + 0.5, 0.0)
+      lon(i0), lat(i0), lon1u, lat(i1),
+      lon(i0) - 0.5, 0.0, lon1u + 0.5, 0.0)
     hit match {
       case None => (Double.NaN, Double.NaN)
-      case Some((eqLon, _)) =>
-        val lons = Array(lon(i0), eqLon, lon(i1))
+      case Some((eqLonRaw, _)) =>
+        // normalize the unwrapped-frame crossing back into [-180, 180)
+        val eqLon = eqLonRaw - 360.0 * math.floor((eqLonRaw + 180.0) / 360.0)
+        val lons = Array(lon(i0), eqLonRaw, lon1u)
         val lats = Array(lat(i0), 0.0, lat(i1))
         val xal = curvilinearDistance(lons, lats, spheroid)
         val xEq = xal(1)

@@ -79,6 +79,10 @@ object Crossover {
     * `idx + 1` — no global window, so a 10^9-vertex constellation table
     * still parallelizes. `idx` must be dense (0..n-1) per track, the
     * natural shape of an ephemeris vertex table.
+    *
+    * `${tag}vx1..vy2` carry the segment's ORIGINAL vertices (in the same
+    * frame as the working coords) for nearest-vertex index attribution —
+    * seam splitting replaces the working coords but not the vertices.
     */
   private def segments(track: DataFrame, tag: String): DataFrame = {
     val t1 = track.select(col("idx").cast("int").as(s"i$tag"),
@@ -88,6 +92,64 @@ object Crossover {
       col("x").cast("double").as(s"${tag}x2"),
       col("y").cast("double").as(s"${tag}y2"))
     t1.join(t2, s"i$tag")
+      .withColumn(s"${tag}vx1", col(s"${tag}x1"))
+      .withColumn(s"${tag}vy1", col(s"${tag}y1"))
+      .withColumn(s"${tag}vx2", col(s"${tag}x2"))
+      .withColumn(s"${tag}vy2", col(s"${tag}y2"))
+  }
+
+  /** Antimeridian handling for geodetic tracks (the reference's geographic
+    * intersection semantics): unwrap x2 to within ±180° of x1, then split
+    * any segment whose unwrapped span crosses ±180 into two pieces at the
+    * seam, each normalized into [-180, 180]. Without this a +179→-179
+    * ground-track step is a ~360°-wide planar segment — near-global cell
+    * fan-out and spurious intersections near lon 0 (r2 ADVICE item).
+    *
+    * Orientation note: x1 ∈ [-180, 180] always, so a high-seam crossing is
+    * ascending (x1 < 180 < xu2) and a low-seam crossing descending — each
+    * splits into exactly two pieces. Seam-point hits land at x = -180 in
+    * the outgoing piece (param t = 0, inside the half-open [0,1)) and at
+    * x = +180 (t = 1, excluded) in the incoming one, so they are still
+    * reported exactly once.
+    */
+  private def seamSplit(seg: DataFrame, tag: String): DataFrame = {
+    val x1 = col(s"${tag}x1"); val y1 = col(s"${tag}y1")
+    val x2 = col(s"${tag}x2"); val y2 = col(s"${tag}y2")
+    val xu2 = x2 - lit(360.0) * round((x2 - x1) / 360.0)
+    val hi = greatest(x1, xu2)
+    val lo = least(x1, xu2)
+    val crossHi = hi > 180.0 && lo < 180.0
+    val crossLo = lo < -180.0 && hi > -180.0
+    // y at the seam via the linear parameter (xu2 != x1 whenever crossing)
+    val ySeamHi = y1 + (lit(180.0) - x1) / (xu2 - x1) * (y2 - y1)
+    val ySeamLo = y1 + (lit(-180.0) - x1) / (xu2 - x1) * (y2 - y1)
+    // whole-segment normalization when the unwrapped segment lies entirely
+    // beyond a seam (possible only at the x1 = ±180 edge)
+    val off0 = when(lo >= 180.0, -360.0)
+      .when(hi <= -180.0, 360.0).otherwise(0.0)
+    def piece(px1: Column, py1: Column, px2: Column, py2: Column,
+              off: Column) =
+      struct((px1 + off).as("px1"), py1.as("py1"),
+        (px2 + off).as("px2"), py2.as("py2"), off.as("off"))
+    val pieces = when(crossHi, array(
+        piece(x1, y1, lit(180.0), ySeamHi, lit(0.0)),
+        piece(lit(180.0), ySeamHi, xu2, y2, lit(-360.0))))
+      .when(crossLo, array(
+        piece(x1, y1, lit(-180.0), ySeamLo, lit(0.0)),
+        piece(lit(-180.0), ySeamLo, xu2, y2, lit(360.0))))
+      .otherwise(array(piece(x1, y1, xu2, y2, off0)))
+    seg.withColumn("_p", explode(pieces))
+      .withColumn(s"${tag}x1", col("_p.px1"))
+      .withColumn(s"${tag}y1", col("_p.py1"))
+      .withColumn(s"${tag}x2", col("_p.px2"))
+      .withColumn(s"${tag}y2", col("_p.py2"))
+      // original vertices move into the piece's frame so the reported
+      // intersection point stays comparable to them
+      .withColumn(s"${tag}vx1", col(s"${tag}vx1") + col("_p.off"))
+      .withColumn(s"${tag}vx2",
+        (col(s"${tag}vx2") - lit(360.0) *
+          round((col(s"${tag}vx2") - col(s"${tag}vx1")) / 360.0)))
+      .drop("_p")
   }
 
   /** DataFrame face: tracks as (idx, x, y) tables with dense per-track
@@ -107,12 +169,41 @@ object Crossover {
     * tracks — geodesic (mean-sphere haversine stands in for the strategy
     * parameter) when `geodetic`, planar otherwise. Infinity disables it.
     */
+  /** SUPERCOVER cell cover (r2 VERDICT item 6): per x column, only the y
+    * cells the segment actually sweeps inside that column (±1 cell of fp
+    * armor) — O(ix + iy) replicas per segment instead of the ix × iy bbox
+    * product, which hit 65k replicas for one long diagonal segment.
+    */
+  private[operators] def coverCells(seg: DataFrame, tag: String,
+                                    cs: Double): DataFrame = {
+    val x1 = col(s"${tag}x1"); val y1 = col(s"${tag}y1")
+    val x2 = col(s"${tag}x2"); val y2 = col(s"${tag}y2")
+    val minX = least(x1, x2); val maxX = greatest(x1, x2)
+    seg
+      .withColumn("cix", explode(sequence(
+        floor(minX / cs).cast("int"), floor(maxX / cs).cast("int"))))
+      .withColumn("_xlo", greatest(minX, col("cix") * cs))
+      .withColumn("_xhi", least(maxX, (col("cix") + 1) * cs))
+      .withColumn("_ya", when(x2 =!= x1,
+        y1 + (col("_xlo") - x1) / (x2 - x1) * (y2 - y1))
+        .otherwise(least(y1, y2)))
+      .withColumn("_yb", when(x2 =!= x1,
+        y1 + (col("_xhi") - x1) / (x2 - x1) * (y2 - y1))
+        .otherwise(greatest(y1, y2)))
+      .withColumn("ciy", explode(sequence(
+        floor(least(col("_ya"), col("_yb")) / cs).cast("int") - 1,
+        floor(greatest(col("_ya"), col("_yb")) / cs).cast("int") + 1)))
+      .drop("_xlo", "_xhi", "_ya", "_yb")
+  }
+
   def join(spark: SparkSession, trackA: DataFrame, trackB: DataFrame,
            cellSize: Double = 0.0,
            maxDistanceToVertex: Double = Double.PositiveInfinity,
            geodetic: Boolean = false): DataFrame = {
-    val segA = segments(trackA, "a")
-    val segB = segments(trackB, "b")
+    val segA0 = segments(trackA, "a")
+    val segB0 = segments(trackB, "b")
+    val segA = if (geodetic) seamSplit(segA0, "a") else segA0
+    val segB = if (geodetic) seamSplit(segB0, "b") else segB0
     val cs =
       if (cellSize > 0.0) cellSize
       else {
@@ -131,22 +222,7 @@ object Crossover {
         math.max(math.max(w, h) / 256.0, 1e-12)
       }
 
-    def covered(seg: DataFrame, tag: String): DataFrame = {
-      val x1 = col(s"${tag}x1"); val y1 = col(s"${tag}y1")
-      val x2 = col(s"${tag}x2"); val y2 = col(s"${tag}y2")
-      seg
-        .withColumn("_ixs", sequence(
-          floor(least(x1, x2) / cs).cast("int"),
-          floor(greatest(x1, x2) / cs).cast("int")))
-        .withColumn("_iys", sequence(
-          floor(least(y1, y2) / cs).cast("int"),
-          floor(greatest(y1, y2) / cs).cast("int")))
-        .withColumn("cix", explode(col("_ixs")))
-        .withColumn("ciy", explode(col("_iys")))
-        .drop("_ixs", "_iys")
-    }
-
-    val joined = covered(segA, "a").join(covered(segB, "b"),
+    val joined = coverCells(segA, "a", cs).join(coverCells(segB, "b", cs),
       Seq("cix", "ciy"))
     val denom = (col("ax2") - col("ax1")) * (col("by2") - col("by1")) -
       (col("ay2") - col("ay1")) * (col("bx2") - col("bx1"))
@@ -167,24 +243,32 @@ object Crossover {
       // report-once rule: only the cell containing the point emits the hit
       .filter(floor(col("x") / cs).cast("int") === col("cix") &&
         floor(col("y") / cs).cast("int") === col("ciy"))
+    // nearest-vertex attribution against the segment's ORIGINAL vertices
+    // (`${tag}vx1..vy2` — seam splitting may have replaced the working
+    // coords with piece endpoints). ENDPOINT approximation of the
+    // reference's whole-linestring nearest-vertex search
+    // (`crossover.hpp` filter_crossover via xover.nearest): for tracks
+    // whose vertex spacing exceeds the crossing angle's scale — every
+    // ground-track catalog here — the crossing segment's own endpoints ARE
+    // the nearest vertices; dense switchbacks could disagree.
     def d2(x0: Column, y0: Column): Column =
       (col("x") - x0) * (col("x") - x0) + (col("y") - y0) * (col("y") - y0)
     val out = hits.select(col("x"), col("y"),
-      when(d2(col("ax1"), col("ay1")) <= d2(col("ax2"), col("ay2")),
+      when(d2(col("avx1"), col("avy1")) <= d2(col("avx2"), col("avy2")),
         col("ia")).otherwise(col("ia") + 1).as("idx_a"),
-      when(d2(col("bx1"), col("by1")) <= d2(col("bx2"), col("by2")),
+      when(d2(col("bvx1"), col("bvy1")) <= d2(col("bvx2"), col("bvy2")),
         col("ib")).otherwise(col("ib") + 1).as("idx_b"),
-      least(d2(col("ax1"), col("ay1")), d2(col("ax2"), col("ay2")))
+      least(d2(col("avx1"), col("avy1")), d2(col("avx2"), col("avy2")))
         .as("_da2"),
-      least(d2(col("bx1"), col("by1")), d2(col("bx2"), col("by2")))
+      least(d2(col("bvx1"), col("bvy1")), d2(col("bvx2"), col("bvy2")))
         .as("_db2"),
-      when(d2(col("ax1"), col("ay1")) <= d2(col("ax2"), col("ay2")),
-        struct(col("ax1"), col("ay1")))
-        .otherwise(struct(col("ax2").as("ax1"), col("ay2").as("ay1")))
+      when(d2(col("avx1"), col("avy1")) <= d2(col("avx2"), col("avy2")),
+        struct(col("avx1"), col("avy1")))
+        .otherwise(struct(col("avx2").as("avx1"), col("avy2").as("avy1")))
         .as("_va"),
-      when(d2(col("bx1"), col("by1")) <= d2(col("bx2"), col("by2")),
-        struct(col("bx1"), col("by1")))
-        .otherwise(struct(col("bx2").as("bx1"), col("by2").as("by1")))
+      when(d2(col("bvx1"), col("bvy1")) <= d2(col("bvx2"), col("bvy2")),
+        struct(col("bvx1"), col("bvy1")))
+        .otherwise(struct(col("bvx2").as("bvx1"), col("bvy2").as("bvy1")))
         .as("_vb"))
     val filtered =
       if (maxDistanceToVertex.isInfinity) out
@@ -194,11 +278,16 @@ object Crossover {
       else {
         import graft.functions.gf
         out.filter(
-          gf.haversine(col("_va.ax1"), col("_va.ay1"), col("x"), col("y"))
+          gf.haversine(col("_va.avx1"), col("_va.avy1"), col("x"), col("y"))
             <= maxDistanceToVertex &&
-          gf.haversine(col("_vb.bx1"), col("_vb.by1"), col("x"), col("y"))
+          gf.haversine(col("_vb.bvx1"), col("_vb.bvy1"), col("x"), col("y"))
             <= maxDistanceToVertex)
       }
-    filtered.select(col("x"), col("y"), col("idx_a"), col("idx_b"))
+    // normalize seam-frame hits back into [-180, 180) for geodetic tracks
+    val xOut =
+      if (geodetic)
+        col("x") - lit(360.0) * floor((col("x") + 180.0) / 360.0)
+      else col("x")
+    filtered.select(xOut.as("x"), col("y"), col("idx_a"), col("idx_b"))
   }
 }

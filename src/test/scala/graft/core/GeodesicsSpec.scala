@@ -115,6 +115,37 @@ class GeodesicsSpec extends AnyFunSuite {
     }
   }
 
+  test("karney routes non-converged Vincenty (outside the fixed box) to shooting") {
+    // scan just OUTSIDE the fixed near-antipodal gate (|lat1+lat2| >= 0.5
+    // or dl <= 179.5): wherever the 200-cap Vincenty iteration is still
+    // moving, karney must agree with the exact shooting solver instead of
+    // returning the silently non-converged value
+    var nonConverged = 0
+    val cases =
+      (for (dlat <- Seq(0.5, 0.6, 0.8, 1.0, 1.5); dl <- Seq(179.6, 179.9, 180.0))
+        yield (30.0, -30.0 + dlat, dl)) ++
+      // equator-adjacent antipodes: Vincenty's λ-iteration stalls for
+      // L > π(1-f) ≈ 179.4° even when |lat1+lat2| clears the 0.5 box
+      (for (l2 <- Seq(0.51, 0.6, 0.8, 1.2, 2.0); dl <- Seq(179.7, 179.9, 180.0))
+        yield (0.0, l2, dl))
+    for ((lat1, lat2, dl) <- cases) {
+      val (viaV, converged) =
+        Geodesics.vincentyImpl(0.0, lat1, dl, lat2, wgs, 200)
+      val k = Geodesics.karney(0.0, lat1, dl, lat2, wgs)
+      if (!converged) {
+        nonConverged += 1
+        val sh = Geodesics.shootingInverse(0.0, lat1, dl, lat2, wgs)
+        assert(sh.isDefined, s"shooting failed at lat2=$lat2 dl=$dl")
+        assert(math.abs(k.distance - sh.get.distance) < 1e-6,
+          s"karney did not take the shooting answer at lat2=$lat2 dl=$dl")
+      } else {
+        assert(math.abs(k.distance - viaV.distance) < 1e-6)
+      }
+    }
+    assert(nonConverged > 0,
+      "fixture must include at least one non-converged Vincenty case")
+  }
+
   test("geographic bilinear weights sum to 1 and recover corners") {
     val (w00, w01, w11, w10) =
       Geodesics.bilinearWeights(12.3, 45.6, 12.0, 45.0, 13.0, 46.0, wgs)

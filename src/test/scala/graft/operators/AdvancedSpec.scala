@@ -141,6 +141,40 @@ class CrossoverSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getDouble(0) == 5.0)
   }
+
+  test("geodetic crossover across the antimeridian (no spurious lon-0 hit)") {
+    // A ascends lat through the seam going east, B descends; in the
+    // unwrapped frame A: lat = u - 180, B: lat = 180.5 - u -> crossing at
+    // u = 180.25 (lon -179.75), lat 0.25
+    val a = Seq((0, 178.0, -2.0), (1, 179.0, -1.0), (2, -180.0, 0.0),
+      (3, -179.0, 1.0), (4, -178.0, 2.0)).toDF("idx", "x", "y")
+    val b = Seq((0, 178.0, 2.5), (1, 179.0, 1.5), (2, -180.0, 0.5),
+      (3, -179.0, -0.5), (4, -178.0, -1.5)).toDF("idx", "x", "y")
+    val out = Crossover.join(spark, a, b, geodetic = true).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(math.abs(out(0).getDouble(0) - (-179.75)) < 1e-9)
+    assert(math.abs(out(0).getDouble(1) - 0.25) < 1e-9)
+    // planar mode on the same wrapped input WOULD see ~360°-wide segments;
+    // geodetic mode must not report anything near lon 0
+    assert(math.abs(out(0).getDouble(0)) > 170.0)
+  }
+
+  test("supercover cell cover is O(ix+iy) for a long diagonal, not ix*iy") {
+    // one segment spanning 100x100 cells diagonally: bbox-product cover
+    // would replicate it 10000x; the supercover must stay ~3 per column
+    val seg = Seq((0, 0.0, 0.0, 100.0, 100.0))
+      .toDF("ia", "ax1", "ay1", "ax2", "ay2")
+    // exact-corner diagonal sweeps 2 cells per column + ±1 fp armor = 4
+    val n = Crossover.coverCells(seg, "a", 1.0).count()
+    assert(n <= 4 * 101 + 4, s"cover exploded to $n cells")
+    assert(n >= 101)
+    // and the hit is still found end-to-end with the default cell derive
+    val ta = Seq((0, 0.0, 0.0), (1, 100.0, 100.0)).toDF("idx", "x", "y")
+    val tb = Seq((0, 0.0, 100.0), (1, 100.0, 0.0)).toDF("idx", "x", "y")
+    val out = Crossover.join(spark, ta, tb).collect()
+    assert(out.length == 1 && out(0).getDouble(0) == 50.0 &&
+      out(0).getDouble(1) == 50.0)
+  }
 }
 
 class GeohashStringSpec extends AnyFunSuite {
