@@ -662,7 +662,8 @@ object SparkEntry {
           col("touches").cast("int").as("touch"),
           col("overlaps").cast("int").as("overlap"),
           col("contains_ab").cast("int").as("cont_ab"),
-          col("equals_ab").cast("int").as("eq_ab"))
+          col("equals_ab").cast("int").as("eq_ab"),
+          col("de9im"))
     }),
     "q_polygon_clip" -> ((s, dir) => {
       // Greiner-Hormann union/intersection/difference vs the closed
@@ -1518,7 +1519,12 @@ object SparkEntry {
           |   AS INT) AS touch,
           | CAST(ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1
           |   AS INT) AS overlap,
-          | 0 AS cont_ab, 0 AS eq_ab
+          | 0 AS cont_ab, 0 AS eq_ab,
+          | CASE WHEN abs(bx0 - ax0) < 4 AND abs(by0 - ay0) < 4
+          |   THEN '212101212'
+          |  WHEN abs(bx0 - ax0) = 4 AND abs(by0 - ay0) = 4
+          |   THEN 'FF2F01212'
+          |  ELSE 'FF2F11212' END AS de9im
           |FROM r""".stripMargin.replace("\n", " ")),
 
       "q_polygon_clip" -> (SparkEntry.rectPairsSqlPrefix +

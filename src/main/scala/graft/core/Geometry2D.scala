@@ -65,6 +65,11 @@ final case class Polygon2D(
   /** Boundary-exclusive containment (boost `within`). */
   def contains(px: Double, py: Double): Boolean = classify(px, py) == 1
 
+  /** Point location: 0 = exterior, 1 = interior, 2 = boundary (the
+    * DE-9IM row selector).
+    */
+  def locate(px: Double, py: Double): Int = classify(px, py)
+
   /** Boundary-inclusive containment (boost `covered_by`). */
   def coveredBy(px: Double, py: Double): Boolean = classify(px, py) >= 1
 
@@ -116,7 +121,7 @@ object Polygon2D {
     Polygon2D(rings.head, rings.tail)
   }
 
-  private def orient(p: (Double, Double), q: (Double, Double),
+  private[core] def orient(p: (Double, Double), q: (Double, Double),
                      r: (Double, Double)): Double =
     (q._1 - p._1) * (r._2 - p._2) - (q._2 - p._2) * (r._1 - p._1)
 

@@ -376,4 +376,106 @@ object GeometryAlgorithms {
     else if (touches(a, b)) "touches"
     else if (overlaps(a, b)) "overlaps"
     else "intersects"
+
+  /** Strict transversal crossing of any edge pair (both segments straddle
+    * the other's line) — a proper boundary crossing, so both interiors and
+    * both exteriors are entered on each side.
+    */
+  private def properCross(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean = {
+    val na = a.length; val nb = b.length
+    var i = 0
+    while (i < na) {
+      val a1 = a(i); val a2 = a((i + 1) % na)
+      var j = 0
+      while (j < nb) {
+        val b1 = b(j); val b2 = b((j + 1) % nb)
+        val d1 = Polygon2D.orient(b1, b2, a1)
+        val d2 = Polygon2D.orient(b1, b2, a2)
+        val d3 = Polygon2D.orient(a1, a2, b1)
+        val d4 = Polygon2D.orient(a1, a2, b2)
+        if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+            ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Any collinear edge pair overlapping over positive length
+    * (dim-1 boundary∩boundary contact).
+    */
+  private def collinearOverlap(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean = {
+    val na = a.length; val nb = b.length
+    var i = 0
+    while (i < na) {
+      val a1 = a(i); val a2 = a((i + 1) % na)
+      var j = 0
+      while (j < nb) {
+        val b1 = b(j); val b2 = b((j + 1) % nb)
+        if (Polygon2D.orient(a1, a2, b1) == 0 &&
+            Polygon2D.orient(a1, a2, b2) == 0) {
+          // project onto the dominant axis of edge a
+          val horiz = math.abs(a2._1 - a1._1) >= math.abs(a2._2 - a1._2)
+          def c(p: Pt) = if (horiz) p._1 else p._2
+          val lo = math.max(math.min(c(a1), c(a2)), math.min(c(b1), c(b2)))
+          val hi = math.min(math.max(c(a1), c(a2)), math.max(c(b1), c(b2)))
+          if (hi > lo) return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** DE-9IM matrix string (row order A-Interior/Boundary/Exterior against
+    * B's I/B/E — "212101212"-style), completing the reference's boost
+    * predicate family (`cxx/src/pybind/geometry/geographic/algorithm/`
+    * exposes `relate`) for simple planar polygons.
+    *
+    * Method: boundary sample classification (vertices + edge midpoints
+    * located in the other polygon) + exact proper-crossing and
+    * collinear-overlap edge tests + the clip-based interior probe as the
+    * containment fallback (so `relate(a, a)` reports 2FFF1FFF2 without
+    * any strictly-interior boundary sample). Caveat shared with the
+    * repo's clip family: a transversal crossing EXACTLY at a shared
+    * vertex with no strictly-inside sample can under-report the
+    * boundary-interior entries.
+    */
+  def relate(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): String = {
+    val pa = poly(a)
+    val pb = poly(b)
+    def samples(r: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+      val n = r.length
+      r ++ (0 until n).map { i =>
+        val p = r(i); val q = r((i + 1) % n)
+        ((p._1 + q._1) / 2, (p._2 + q._2) / 2)
+      }
+    }
+    val clsA = samples(a).map(p => pb.locate(p._1, p._2)) // ∂A in B
+    val clsB = samples(b).map(p => pa.locate(p._1, p._2)) // ∂B in A
+    val pc = properCross(a, b)
+    val co = collinearOverlap(a, b)
+    val aInsideSome = clsA.contains(1)
+    val bInsideSome = clsB.contains(1)
+    val aInClosureB = !pc && clsA.forall(_ >= 1)
+    val bInClosureA = !pc && clsB.forall(_ >= 1)
+    // containment covers the clip-degenerate identical/shared-boundary
+    // cases (Greiner-Hormann vertex-on-vertex caveat) before the probe
+    val interiorsMeet = pc || aInsideSome || bInsideSome ||
+      containsPoly(a, b) || containsPoly(b, a) || interiorsIntersect(a, b)
+    val ii = if (interiorsMeet) '2' else 'F'
+    val ib = if (pc || bInsideSome) '1' else 'F'
+    val ie = if (aInClosureB) 'F' else '2'
+    val bi = if (pc || aInsideSome) '1' else 'F'
+    val bb =
+      if (co) '1'
+      else if (pc || clsA.contains(2) || clsB.contains(2)) '0'
+      else 'F'
+    val be = if (aInClosureB) 'F' else '1'
+    val ei = if (bInClosureA) 'F' else '2'
+    val eb = if (bInClosureA) 'F' else '1'
+    s"$ii$ib$ie$bi$bb$be$ei${eb}2"
+  }
 }

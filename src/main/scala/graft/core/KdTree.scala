@@ -15,8 +15,9 @@ package graft.core
   * @param payload caller value per point (e.g. the observed scalar)
   * @param ids    caller id per point (stable tie-break ordering)
   */
-final class KdTree(dims: Int, coords: Array[Double], payload: Array[Double],
-                   ids: Array[Long]) extends Serializable {
+final class KdTree(private val dims: Int, private val coords: Array[Double],
+                   private val payload: Array[Double],
+                   private val ids: Array[Long]) extends Serializable {
   private val n = ids.length
   private val index: Array[Int] = Array.tabulate(n)(identity)
   // node bounding is implicit via recursive partitioning
@@ -200,6 +201,39 @@ final class KdTree(dims: Int, coords: Array[Double], payload: Array[Double],
 }
 
 object KdTree {
+  /** Stable byte codec (the engine's analog of the reference R-tree
+    * pickle support, `rtree.hpp:621-673`): version tag + dims + flat
+    * (coords, payload, ids) arrays. Deserialization re-runs the
+    * deterministic median build, so a round-trip answers every query
+    * identically regardless of JVM or Spark serializer version.
+    */
+  def toBytes(t: KdTree): Array[Byte] = {
+    val n = t.ids.length
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 4 +
+      8 * t.coords.length + 8 * n + 8 * n)
+    bb.putInt(0x4B445431) // "KDT1"
+    bb.putInt(t.dims)
+    bb.putInt(n)
+    var i = 0
+    while (i < t.coords.length) { bb.putDouble(t.coords(i)); i += 1 }
+    i = 0
+    while (i < n) { bb.putDouble(t.payload(i)); i += 1 }
+    i = 0
+    while (i < n) { bb.putLong(t.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): KdTree = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt == 0x4B445431, "not a KdTree codec payload")
+    val dims = bb.getInt
+    val n = bb.getInt
+    val coords = Array.fill(n * dims)(bb.getDouble)
+    val payload = Array.fill(n)(bb.getDouble)
+    val ids = Array.fill(n)(bb.getLong)
+    new KdTree(dims, coords, payload, ids)
+  }
+
   /** Build from (x, y[, z], value, id) tuples. */
   def build(points: Iterator[(Array[Double], Double, Long)], dims: Int): KdTree = {
     val cs = scala.collection.mutable.ArrayBuffer.empty[Double]

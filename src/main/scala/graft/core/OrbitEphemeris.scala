@@ -71,8 +71,31 @@ object OrbitEphemeris {
       if (time.length < 2) 0.0
       else (time.last - time.head) / (time.length - 1)
 
+    /** The reference's `Orbit.iterate` contract (`orbit.py:359-399`):
+      * start at `firstDate` on `absolutePassNumber`, yield
+      * (cycle, pass, startDate) and advance by each pass's own duration —
+      * sequential accumulation, so windows never drift from the catalog's
+      * per-pass durations.
+      */
+    def iterateFrom(firstDate: Double, lastDate: Double,
+                    absolutePassNumber: Int = 1)
+        : Iterator[(Int, Int, Double)] =
+      Iterator.iterate((absolutePassNumber, firstDate)) { case (apn, date) =>
+        val (_, pass) = decodeAbsolutePassNumber(apn)
+        (apn + 1, date + passDuration(pass))
+      }.takeWhile(_._2 <= lastDate).map { case (apn, date) =>
+        val (cycle, pass) = decodeAbsolutePassNumber(apn)
+        (cycle, pass, date)
+      }
+
     /** Absolute pass numbers of every half-orbit intersecting
-      * [first, last) in absolute seconds (`orbit.py:359-399` iterate).
+      * [first, last) in absolute seconds — an overlap-window QUERY face,
+      * not the reference's sequential generator ([[iterateFrom]] is that).
+      * Pass p of cycle c is positioned at (c-1)·cycleDuration +
+      * passTime(p-1); because per-cycle pass durations sum to
+      * cycleDuration − passTime.head + deltaT, these catalog-anchored
+      * windows can differ from sequential accumulation by ~deltaT per
+      * cycle — catalog positioning is authoritative here.
       */
     def iterate(first: Double, last: Double): Iterator[Int] = {
       val cd = cycleDuration

@@ -43,10 +43,11 @@ object GeometryOps {
         val a = ring(a0)
         val b = ring(b0)
         (id, GA.intersects(a, b), GA.touches(a, b), GA.overlaps(a, b),
-          GA.containsPoly(a, b), GA.equalsPoly(a, b), GA.relation(a, b))
+          GA.containsPoly(a, b), GA.equalsPoly(a, b), GA.relation(a, b),
+          GA.relate(a, b))
       }
       .toDF(idCol, "intersects", "touches", "overlaps", "contains_ab",
-        "equals_ab", "relation")
+        "equals_ab", "relation", "de9im")
   }
 
   /** Boolean-op areas for (ringA, ringB) pairs: intersection, union,

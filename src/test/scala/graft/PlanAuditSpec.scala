@@ -91,4 +91,39 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_geodesic_distance")
     assert(!p.contains("Exchange"), "unexpected shuffle:\n" + p.take(3000))
   }
+
+  test("grid-as-table bilinear is a distributed join plan, no grid scan") {
+    // the logical plan must be pure joins/aggregates over the cell table —
+    // proof the lattice is never collected: a driver collect would appear
+    // as a LocalRelation/LocalTableScan of lattice rows instead
+    val df = SparkEntry.queries("q_bilinear_biggrid")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.split("Join").length >= 3, p.take(3000)) // corner join + reassembly
+    assert(!p.contains("LocalTableScan"), "lattice was collected:\n" +
+      p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(3000))
+  }
+
+  test("big-probe ANN carries no user broadcast hint (shuffle-join shape)") {
+    // broadcastQueryBytes = 0 must produce a plan whose joins were chosen
+    // by Catalyst, not forced by broadcast(): no ResolvedHint survives
+    // analysis, and the physical joins are hash/sort-merge equi-joins
+    val df = SparkEntry.queries("q_ann_lsh_big_probe")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString()
+    assert(!analyzed.contains("ResolvedHint"),
+      "explicit broadcast hint in big-probe ANN:\n" + analyzed.take(2000))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("small-probe ANN still broadcasts the query side") {
+    val df = SparkEntry.queries("q_ann_lsh_cosine")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString()
+    assert(analyzed.contains("ResolvedHint"),
+      "small-probe ANN lost its broadcast fast path")
+  }
 }

@@ -72,6 +72,29 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
     assert(relation(a, rect(5, 5, 6, 6)) === "disjoint")
   }
 
+  test("DE-9IM relate matches the canonical matrices") {
+    val a = rect(0, 0, 4, 4)
+    // textbook matrices
+    assert(relate(a, rect(2, 2, 6, 6)) === "212101212")   // overlap
+    assert(relate(a, rect(0, 0, 4, 4)) === "2FFF1FFF2")   // equals
+    assert(relate(a, rect(1, 1, 2, 2)) === "212FF1FF2")   // contains (proper)
+    assert(relate(rect(1, 1, 2, 2), a) === "2FF1FF212")   // within (proper)
+    assert(relate(a, rect(5, 5, 6, 6)) === "FF2FF1212")   // disjoint
+    assert(relate(a, rect(4, 0, 8, 4)) === "FF2F11212")   // edge touch
+    assert(relate(a, rect(4, 4, 8, 8)) === "FF2F01212")   // corner touch
+    // containment with a shared boundary arc: interiors meet, boundaries
+    // share dim-1, and B's boundary enters A's interior
+    assert(relate(a, rect(0, 0, 2, 4)) === "212F11FF2")
+    // non-rectangles: crossing triangles overlap
+    val t1 = IndexedSeq((0.0, 0.0), (6.0, 0.0), (3.0, 6.0))
+    val t2 = IndexedSeq((0.0, 4.0), (6.0, 4.0), (3.0, -2.0))
+    assert(relate(t1, t2) === "212101212")
+    // triangle strictly inside the square
+    val t3 = IndexedSeq((1.0, 1.0), (3.0, 1.0), (2.0, 3.0))
+    assert(relate(a, t3) === "212FF1FF2")
+    assert(relate(t3, a) === "2FF1FF212")
+  }
+
   test("clip: rectangle intersection/union/difference areas") {
     val a = rect(0, 0, 4, 4)
     val b = rect(2, 2, 6, 6)

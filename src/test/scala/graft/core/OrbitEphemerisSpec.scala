@@ -105,6 +105,19 @@ class OrbitEphemerisSpec extends AnyFunSuite {
       val end = start + orbit.passDuration(p)
       assert(end > w0 && start < w1, s"abs=$a [$start,$end)")
     }
+    // iterateFrom: the reference's sequential-accumulation contract —
+    // consecutive start dates differ by exactly the yielded pass duration
+    val seq = orbit.iterateFrom(100.0, 100.0 + 2.5 * orbit.cycleDuration,
+      absolutePassNumber = 3).toSeq
+    assert(seq.nonEmpty && seq.head == ((1, 3, 100.0)))
+    seq.sliding(2).foreach {
+      case Seq((c1, p1, d1), (c2, p2, d2)) =>
+        assert(orbit.encodeAbsolutePassNumber(c2, p2) ===
+          orbit.encodeAbsolutePassNumber(c1, p1) + 1)
+        assert(math.abs(d2 - (d1 + orbit.passDuration(p1))) < 1e-9)
+      case _ =>
+    }
+    assert(seq.last._3 <= 100.0 + 2.5 * orbit.cycleDuration)
   }
 
   test("swath pixels sit at the prescribed across-track distances") {
