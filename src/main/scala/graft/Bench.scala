@@ -101,6 +101,33 @@ object Bench {
         f"mean=${hist.getDouble(2)}%.1f buckets=${hist.getLong(3)}")
       hit / exact.count()
     } catch { case _: Throwable => Double.NaN }
+
+    // big-probe ANN (queries ≈ items, the self-ANN dedup shape): the
+    // size gate must fall over to the shuffle equi-join plan
+    // (broadcastQueryBytes = 0 forces it) and recall@5 must hold there
+    val annRecallBig = try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def h(a: Long, b: Long): Double = {
+        var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+        (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+      }
+      val vecs = (0 until 2000).map { i =>
+        val c = i % 100
+        (i.toLong, Array.tabulate(64)(d =>
+          (h(c, d) + 0.15 * h(i + 1000000L, d)).toFloat))
+      }
+      val items = vecs.toDF("id", "embedding")
+      val queries = items.select(col("id").as("qid"), col("embedding"))
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(items, queries, k = 5).select("qid", "id")
+      val approx = graft.operators.Similarity
+        .lshTopK(items, queries, k = 5, planes = 6, tables = 4,
+          broadcastQueryBytes = 0L)
+        .select("qid", "id")
+      exact.intersect(approx).count().toDouble / exact.count()
+    } catch { case _: Throwable => Double.NaN }
     spark.stop()
 
     // scaling evidence: interleaved min-of-k at N = cpus/8 and
@@ -187,7 +214,9 @@ object Bench {
       s""""tiles_per_sec_small":$rateN,"cores_small":$nSmall,""" +
       s""""tiles_per_sec_4n":$rate4N,"cores_large":$nLarge,""" +
       s""""cores_deploy":$cpus,"scaling_efficiency":$efficiency,""" +
-      s""""ann_recall_at5":${if (annRecall.isNaN) "null" else annRecall}}"""
+      s""""ann_recall_at5":${if (annRecall.isNaN) "null" else annRecall},""" +
+      s""""ann_recall_at5_big_probe":${
+        if (annRecallBig.isNaN) "null" else annRecallBig}}"""
     println(json)
     // stdout may be wrapped by a launcher (sbt [info] prefixes); keep a
     // clean copy next to the scaling report

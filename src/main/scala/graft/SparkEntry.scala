@@ -484,6 +484,23 @@ object SparkEntry {
       GridInterpolator.bivariateTable(s, probe, "x", "y", gridTable)
         .select(col("o_orderkey"), col("value").as("interp"))
     }),
+    "q_trilinear_biggrid" -> ((s, dir) => {
+      // 3-D grid-as-table: 8-corner join, half-cell probes (weights all
+      // exactly 0.125 -> fp-exact in any summation order)
+      val gridTable = s.range(21L * 21L * 5L).select(
+        floor(col("id") / 105).cast("double").as("lon"),
+        (floor(col("id") / 5) % 21).cast("double").as("lat"),
+        (col("id") % 5).cast("double").as("z"),
+        ((floor(col("id") / 105) * 31 + (floor(col("id") / 5) % 21) * 17 +
+          (col("id") % 5) * 7) % 53).cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 20).cast("double") + 0.5).as("x"),
+        ((col("o_orderkey") * 7 % 20).cast("double") + 0.5).as("y"),
+        ((col("o_orderkey") % 4).cast("double") + 0.5).as("zq"))
+      GridInterpolator.trivariateTable(s, probe, "x", "y", "zq", gridTable)
+        .select(col("o_orderkey"), col("value").as("interp"))
+    }),
     "q_bicubic_mid" -> ((s, dir) => {
       // OFF-node bicubic oracle: at a fixed half-cell offset the windowed
       // bicubic is a constant 6x6 stencil (the kernel is linear in z);
@@ -674,6 +691,19 @@ object SparkEntry {
         .select(col("id"), round(col("inter_area"), 6).as("inter_area"),
           round(col("union_area"), 6).as("union_area"),
           round(col("diff_area"), 6).as("diff_area"))
+    }),
+    "q_point_distance" -> ((s, dir) => {
+      // for_each_point_distance analog: distance of scattered points to a
+      // rectangle ring — interval closed form is the exact oracle (inside
+      // → 0, boost polygon-distance semantics)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val pts = supp.select(col("s_suppkey").as("id"),
+        (col("s_suppkey") % 12).cast("double").as("px"),
+        when(col("s_suppkey") % 2 === 0, 5.0).otherwise(0.0).as("py"),
+        array(lit(2.0), lit(2.0), lit(8.0), lit(2.0), lit(8.0), lit(8.0),
+          lit(2.0), lit(8.0)).as("ring"))
+      GeometryOps.pointDistance(s, pts, "id", "px", "py", "ring")
+        .select(col("id"), round(col("dist"), 6).as("dist"))
     }),
     "q_line_metrics" -> ((s, dir) => {
       // simplify / densify / line_interpolate / length on per-supplier
@@ -1384,6 +1414,21 @@ object SparkEntry {
           |  + CAST(((i0+1)*31 + (j0+1)*17) % 97 AS DOUBLE)) / 4.0 AS interp
           |FROM p""".stripMargin.replace("\n", " "),
 
+      // half-cell probes in all three dims: trilinear = mean of 8 corners
+      "q_trilinear_biggrid" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 20 AS INT) AS i0,
+          |  CAST(o_orderkey * 7 % 20 AS INT) AS j0,
+          |  CAST(o_orderkey % 4 AS INT) AS k0 FROM orders),
+          | c AS (SELECT o_orderkey,
+          |  CAST((i0 + di.d) * 31 + (j0 + dj.d) * 17 + (k0 + dk.d) * 7 AS BIGINT)
+          |    AS f
+          |  FROM p, (VALUES (0), (1)) di(d), (VALUES (0), (1)) dj(d),
+          |   (VALUES (0), (1)) dk(d))
+          |SELECT o_orderkey,
+          | SUM(CAST(f % 53 AS DOUBLE)) / 8.0 AS interp
+          |FROM c GROUP BY o_orderkey""".stripMargin.replace("\n", " "),
+
       "q_akima_nodes" ->
         """SELECT o_orderkey,
           | round(CAST(((o_orderkey % 34 + 3) * 31 + (o_orderkey * 7 % 34 + 3) * 17)
@@ -1539,6 +1584,19 @@ object SparkEntry {
           |   GREATEST(0.0, LEAST(ay1, by1) - GREATEST(ay0, by0)), 6)
           |   AS diff_area
           |FROM r""".stripMargin.replace("\n", " ")),
+
+      "q_point_distance" ->
+        """WITH p AS (SELECT s_suppkey,
+          |  CAST(s_suppkey % 12 AS DOUBLE) AS px,
+          |  CASE WHEN s_suppkey % 2 = 0 THEN 5.0 ELSE 0.0 END AS py
+          |  FROM supplier)
+          |SELECT s_suppkey AS id,
+          | round(CASE WHEN px >= 2 AND px <= 8 AND py >= 2 AND py <= 8
+          |  THEN 0.0
+          |  ELSE sqrt(GREATEST(2 - px, px - 8, 0) * GREATEST(2 - px, px - 8, 0)
+          |   + GREATEST(2 - py, py - 8, 0) * GREATEST(2 - py, py - 8, 0))
+          |  END, 6) AS dist
+          |FROM p""".stripMargin.replace("\n", " "),
 
       "q_line_metrics" ->
         """SELECT s_suppkey AS id, 3 AS n_simplified,

@@ -107,10 +107,13 @@ object Crossover {
     *
     * Orientation note: x1 ∈ [-180, 180] always, so a high-seam crossing is
     * ascending (x1 < 180 < xu2) and a low-seam crossing descending — each
-    * splits into exactly two pieces. Seam-point hits land at x = -180 in
-    * the outgoing piece (param t = 0, inside the half-open [0,1)) and at
-    * x = +180 (t = 1, excluded) in the incoming one, so they are still
-    * reported exactly once.
+    * splits into exactly two pieces. Seam-point hits land in the outgoing
+    * piece (param t = 0, inside the half-open [0,1)) and are excluded from
+    * the incoming one (t = 1), so same-direction seam hits are reported
+    * exactly once. Known measure-zero caveat: two tracks crossing EXACTLY
+    * at the seam while travelling in opposite x directions put their
+    * outgoing pieces in different frames (−180 vs +180) and that single
+    * point is missed; any crossing epsilon off the seam is found normally.
     */
   private def seamSplit(seg: DataFrame, tag: String): DataFrame = {
     val x1 = col(s"${tag}x1"); val y1 = col(s"${tag}y1")

@@ -74,6 +74,43 @@ object GeometryOps {
       .toDF(idCol, "inter_area", "union_area", "diff_area")
   }
 
+  /** Vectorized point→polygon distance — the reference's
+    * `for_each_point_distance` face
+    * (`cxx/include/pyinterp/geometry/for_each_point_distance.hpp`): 0 for
+    * points inside or on the ring (boost polygon distance semantics),
+    * else the minimum distance to the boundary. A narrow map stage; the
+    * ring travels as an interleaved-coordinate column like the other
+    * geometry faces, so per-row polygons need no broadcast.
+    */
+  def pointDistance(spark: SparkSession, df: DataFrame, idCol: String,
+                    xCol: String, yCol: String, ringCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(xCol).cast("double"),
+        col(yCol).cast("double"), col(ringCol))
+      .as[(Long, Double, Double, Seq[Double])]
+      .map { case (id, px, py, r0) =>
+        val r = ring(r0)
+        val p = graft.core.Polygon2D(r.toArray)
+        val d =
+          if (p.coveredBy(px, py)) 0.0
+          else {
+            var best = Double.MaxValue
+            val n = r.length
+            var i = 0
+            while (i < n) {
+              val (ax, ay) = r(i)
+              val (bx, by) = r((i + 1) % n)
+              val di = GA.pointSegDistance(px, py, ax, ay, bx, by)
+              if (di < best) best = di
+              i += 1
+            }
+            best
+          }
+        (id, d)
+      }
+      .toDF(idCol, "dist")
+  }
+
   /** Line metrics per row: simplified vertex count (Douglas-Peucker),
     * densified count, the line_interpolate(fraction) point, and length.
     */

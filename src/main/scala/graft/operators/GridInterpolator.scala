@@ -204,6 +204,90 @@ object GridInterpolator {
       .drop("_rid", "_v")
   }
 
+  /** 3-D grid-as-table trilinear interpolation: [[bivariateTable]]'s
+    * corner join extended to the 8 bracketing lattice corners (bilinear in
+    * (x, y) × linear in z — the geometric trivariate semantics,
+    * `pybind/geometric/trivariate.hpp:46-120`). Same scale contract: the
+    * lattice never leaves the cluster.
+    */
+  def trivariateTable(spark: SparkSession, probe: DataFrame, xCol: String,
+                      yCol: String, zCol: String, gridTable: DataFrame,
+                      zColName: String = "", valueCol: String = "",
+                      outputCol: String = "value"): DataFrame = {
+    import graft.sources.GridLoader
+    val roles = GridLoader.identifyAxes(gridTable)
+    val lonCol = roles.lon.getOrElse(
+      throw new IllegalArgumentException("no longitude/x axis identified"))
+    val latCol = roles.lat.getOrElse(
+      throw new IllegalArgumentException("no latitude/y axis identified"))
+    val zName =
+      if (zColName.nonEmpty) zColName
+      else roles.time.getOrElse(
+        throw new IllegalArgumentException("no time/z axis identified"))
+    val vCol =
+      if (valueCol.nonEmpty) valueCol
+      else gridTable.schema.fields.map(_.name)
+        .filterNot(n => n == lonCol || n == latCol || n == zName).headOption
+        .getOrElse(throw new IllegalArgumentException("no value column"))
+    val axes = Seq(GridLoader.axisOf(gridTable, lonCol),
+      GridLoader.axisOf(gridTable, latCol),
+      GridLoader.axisOf(gridTable, zName))
+    require(axes.forall(a => a.isRegular && a.size >= 2 && !a.isPeriodic &&
+      a.front < a.back),
+      "trivariateTable requires regular ascending non-periodic axes; load " +
+        "irregular/periodic grids through GridLoader.grid3d (broadcast)")
+    val Seq(xAxis, yAxis, zAxis) = axes
+
+    val cells = gridTable.select(
+      round((col(lonCol).cast("double") - lit(xAxis.front)) /
+        lit(xAxis.step)).cast("int").as("_ci"),
+      round((col(latCol).cast("double") - lit(yAxis.front)) /
+        lit(yAxis.step)).cast("int").as("_cj"),
+      round((col(zName).cast("double") - lit(zAxis.front)) /
+        lit(zAxis.step)).cast("int").as("_ck"),
+      col(vCol).cast("double").as("_z"))
+
+    val withId = probe.withColumn("_rid", monotonically_increasing_id())
+    def frac(c: String, a: graft.core.Axis) =
+      (col(c).cast("double") - lit(a.front)) / lit(a.step)
+    val p = withId
+      .withColumn("_fx", frac(xCol, xAxis))
+      .withColumn("_fy", frac(yCol, yAxis))
+      .withColumn("_fz", frac(zCol, zAxis))
+      .withColumn("_i0",
+        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_j0",
+        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+      .withColumn("_k0",
+        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+      .withColumn("_tx", col("_fx") - col("_i0"))
+      .withColumn("_ty", col("_fy") - col("_j0"))
+      .withColumn("_tz", col("_fz") - col("_k0"))
+      .filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
+        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble))
+    val cornerStructs = for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1) yield {
+      def w(t: org.apache.spark.sql.Column, d: Int) =
+        if (d == 1) t else lit(1.0) - t
+      struct((col("_i0") + di).as("_ci"), (col("_j0") + dj).as("_cj"),
+        (col("_k0") + dk).as("_ck"),
+        (w(col("_tx"), di) * w(col("_ty"), dj) * w(col("_tz"), dk)).as("_w"))
+    }
+    val corners = p.select(col("_rid"), explode(array(cornerStructs: _*))
+        .as("_c"))
+      .select(col("_rid"), col("_c._ci").as("_ci"), col("_c._cj").as("_cj"),
+        col("_c._ck").as("_ck"), col("_c._w").as("_w"))
+    val agg = corners.join(cells, Seq("_ci", "_cj", "_ck"))
+      .groupBy("_rid")
+      .agg(sum(col("_w") * col("_z")).as("_v"), count(lit(1)).as("_n"))
+      .select(col("_rid"),
+        when(col("_n") === 8, col("_v")).otherwise(lit(Double.NaN)).as("_v"))
+    withId.join(agg, Seq("_rid"), "left")
+      .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
+      .drop("_rid", "_v")
+  }
+
   /** Univariate interpolation / derivative over a broadcast 1-D grid —
     * the `pyinterp.univariate` / `univariate_derivative` entry points
     * (`regular_grid_interpolator.py` univariate path): the chosen

@@ -256,7 +256,11 @@ object KnnJoin {
         p.cy - dK >= by0 && p.cy + dK <= by1
     } else {
       // chord meters -> degree margins (conservative 1.05 factor; lon
-      // margin uses the widest latitude in the block)
+      // margin uses the widest latitude in the block). NOTE: near the
+      // poles cos(lat) -> 0 blows the lon margin up, so `exact` goes
+      // conservatively FALSE and polar probes re-query coarser —
+      // correct but wasteful; a polar-cap cell scheme would fix the
+      // waste if polar workloads ever dominate
       val (lon, lat, _) = Geodesy.ecefToLla(p.cx, p.cy, p.cz)
       val latMargin = dK / 110574.0 * 1.05
       val maxAbsLat = math.min(89.9, math.max(math.abs(by0), math.abs(by1)))

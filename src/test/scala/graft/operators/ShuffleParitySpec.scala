@@ -34,6 +34,22 @@ class ShuffleParitySpec extends AnyFunSuite {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).toSeq.sorted
 
+  test("broadcast hard cap: undershooting estimate falls over to shuffle") {
+    // force the broadcast DECISION (threshold = MaxValue) but cap the
+    // collect below the build size: the capped limit-collect must detect
+    // the overflow and the shuffle path must answer identically
+    val capped = bcCfg.copy(maxBroadcastRows = 100L) // build has 500 rows
+    val viaCap = KnnJoin.knnJoinFlat(spark, buildDf, probeDf, capped)
+    val viaBc = KnnJoin.knnJoinFlat(spark, buildDf, probeDf, bcCfg)
+    assert(sortedRows(viaCap) == sortedRows(viaBc))
+    val idwCap = KnnJoin.idw(spark, buildDf, probeDf, capped)
+    val idwBc = KnnJoin.idw(spark, buildDf, probeDf, bcCfg)
+    assert(sortedRows(idwCap) == sortedRows(idwBc))
+    val dCap = KnnJoin.distanceJoin(spark, buildDf, probeDf, 2.0, capped)
+    val dBc = KnnJoin.distanceJoin(spark, buildDf, probeDf, 2.0, bcCfg)
+    assert(sortedRows(dCap) == sortedRows(dBc))
+  }
+
   test("distanceJoin: shuffle path ≡ broadcast path row sets") {
     val b = KnnJoin.distanceJoin(spark, buildDf, probeDf, radius = 2.0, bcCfg)
     val s = KnnJoin.distanceJoin(spark, buildDf, probeDf, radius = 2.0, shCfg)
