@@ -783,6 +783,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_v"))
     }),
 
+    "q_streaming_binning" -> ((s, dir) => {
+      // §2.10 streaming ≡ batch oracle: the events table read AS A STREAM
+      // through the watermarked windowed-moments aggregation, run to
+      // completion into a memory sink (complete mode), then compared to
+      // plain batch SQL — the mergeable-state contract, driver-checked
+      val schema = s.read.parquet(t(dir, "events")).schema
+      // file stream sources consume DIRECTORIES (a table is a growing
+      // directory of files); the fixture is a single file, so stage it
+      // into a temp dir — the one-file "ingest" of the streaming contract
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(t(dir, "events")),
+        tmp.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      val agg = graft.streaming.StreamingBinning.windowedStats(stream, "ts",
+        (col("user_id") % 8).cast("int"), col("value"))
+      val qname = "q_streaming_binning_sink"
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qname).select(col("window_start"), col("cell"),
+        col("count").as("cnt"), round(col("sum"), 6).as("sum_v"),
+        col("min").as("min_v"), col("max").as("max_v"))
+    }),
+
     // ======== text / training-data ops ========
     "q_dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
@@ -1105,8 +1133,10 @@ object SparkEntry {
       }.toDF("n", "center")
     }),
     "q_fill_fft" -> ((s, dir) => {
-      // fill.fft_inpaint (DCT path): deterministic-holes fixture;
-      // engine-specific spectral fixed point -> rows-only check
+      // fill.fft_inpaint (DCT path): the spectral fixed point is
+      // engine-specific, but its CONTRACT is oracle-checkable — known
+      // cells preserved EXACTLY (reset each iteration), every hole filled
+      // finite, and the low-pass fill stays near the known-value range
       import s.implicits._
       val nations = s.read.parquet(t(dir, "nation")).select(col("n_nationkey"))
         .as[Int].collect().toSeq
@@ -1118,11 +1148,16 @@ object SparkEntry {
           if ((i * j + n) % 11 == 0) Double.NaN
           else ((i * 31 + j * 17 + n) % 29).toDouble
         }
-        val (filled, iters, _) = graft.core.FillMultigrid.fftInpaint(
+        val (filled, _, _) = graft.core.FillMultigrid.fftInpaint(
           vals, size, size, sigma = 6.0, maxIterations = 300,
           epsilon = 1e-7)
-        (n, iters, math.floor(filled(8 * size + 8) * 100 + 0.5) / 100)
-      }.toDF("n", "iterations", "center")
+        val knownOk = vals.indices.forall(k =>
+          vals(k).isNaN || filled(k) == vals(k))
+        val filledOk = vals.indices.forall(k =>
+          !vals(k).isNaN ||
+            (!filled(k).isNaN && filled(k) >= -5.0 && filled(k) <= 33.0))
+        (n, knownOk, filledOk)
+      }.toDF("n", "known_ok", "filled_ok")
     }),
     "q_kriging" -> ((s, dir) => {
       // DISTINCT lattice points (duplicate build coordinates make the
@@ -1691,6 +1726,12 @@ object SparkEntry {
           | MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v
           |FROM lineitem GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
+      // fill contract oracle: knowns preserved exactly, holes filled
+      // within the low-pass range — per-nation row set + TRUE flags
+      "q_fill_fft" ->
+        """SELECT n_nationkey AS n, TRUE AS known_ok, TRUE AS filled_ok
+          |FROM nation""".stripMargin.replace("\n", " "),
+
       // analytic-orbit consistency oracle: all flags must come back TRUE
       "q_orbit_analytic" ->
         ("SELECT TRUE AS lons_ok, TRUE AS times_ok, TRUE AS has_pass, " +
@@ -1835,6 +1876,15 @@ object SparkEntry {
           |    pv + CAST(rn - pr AS DOUBLE) * (nv - pv) / CAST(nr - pr AS DOUBLE)
           |  ELSE NULL END, 6) AS filled
           |FROM f""".stripMargin.replace("\n", " "),
+
+      // streaming ≡ batch: same grouping computed in plain SQL
+      "q_streaming_binning" ->
+        """SELECT date_trunc('hour', ts) AS window_start,
+          | CAST(user_id % 8 AS INT) AS cell,
+          | CAST(COUNT(*) AS BIGINT) AS cnt,
+          | round(SUM(value), 6) AS sum_v,
+          | MIN(value) AS min_v, MAX(value) AS max_v
+          |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
       "q_hourly_binning" ->
         """SELECT date_trunc('hour', ts) AS hour, event_type,
