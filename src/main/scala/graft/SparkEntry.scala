@@ -387,6 +387,29 @@ object SparkEntry {
         .select(col("qid"), round(col("value"), 6).as("wval"),
           col("neighbors"))
     }),
+    "q_knn_window_parzen" -> ((s, dir) => {
+      // second window-kernel oracle (fixed radius -> constant scale, so
+      // the piecewise-polynomial parzen weight is SQL-mirrorable term by
+      // term; boxcar covers the machinery, this covers a tapered kernel)
+      val part = s.read.parquet(t(dir, "part"))
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val build = part.select(
+        (col("p_partkey") % 50).cast("double").as("x"),
+        (col("p_partkey") * 13 % 50).cast("double").as("y"),
+        (col("p_partkey") % 97).cast("double").as("value"),
+        col("p_partkey").as("id"))
+      val probe = supp.select(col("s_suppkey").as("qid"),
+        ((col("s_suppkey") % 50).cast("double") + 0.3).as("x"),
+        ((col("s_suppkey") * 3 % 50).cast("double") + 0.7).as("y"))
+      KnnJoin.windowFunction(s, build, probe,
+          KnnJoin.Config(k = 4, radius = 3.0, geodetic = false,
+            windowKernel = "parzen", windowArg = 0.0))
+        // probes with no in-radius neighbor yield (NaN, 0) — the oracle's
+        // GROUP BY has no such groups, so compare the populated set
+        .filter(col("neighbors") > 0)
+        .select(col("qid"), round(col("value"), 6).as("wval"),
+          col("neighbors"))
+    }),
     "q_distance_join" -> ((s, dir) => {
       // query_ball / ST_DWithin analog: all build points within radius
       val part = s.read.parquet(t(dir, "part"))
@@ -854,6 +877,25 @@ object SparkEntry {
       // xxhash64-based -> rows-only check
       val docs = s.read.parquet(t(dir, "documents"))
       Dedup.simhash(docs, "doc_id", "text")
+    }),
+    "q_simhash_neardup" -> ((s, dir) => {
+      // simhash SEMANTIC oracle: exact-jaccard >= 0.9 pairs (the planted
+      // near-duplicates) must be within 8/64 hamming bits — measured max
+      // 5 on this corpus vs min 6 / mean 18 for unrelated pairs; DuckDB
+      // independently derives the pair set, flags affirmed TRUE
+      val docs = s.read.parquet(t(dir, "documents"))
+        .filter(col("doc_id") < 200)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.9, allPairs = true)
+        .select("id_a", "id_b")
+      val sh = Dedup.simhash(docs, "doc_id", "text")
+      pairs
+        .join(sh.select(col("id").as("id_a"), col("simhash").as("sh_a")),
+          "id_a")
+        .join(sh.select(col("id").as("id_b"), col("simhash").as("sh_b")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 8).as("close"))
     }),
     "q_doc_quality" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
@@ -1785,6 +1827,21 @@ object SparkEntry {
             | CAST(COUNT(*) AS INT) AS neighbors
             |FROM k GROUP BY qid""".stripMargin).replace("\n", " "),
 
+      // parzen weight mirrored term-by-term (ratio = dist/3, sampling 0:
+      // cubic taper below r, inner parabola below r/2), fixed radius 3
+      "q_knn_window_parzen" ->
+        (knnRanked +
+          """ , k AS (SELECT * FROM r WHERE rank <= 4 AND dist <= 3.0),
+            | w AS (SELECT qid, value,
+            |  CASE WHEN dist <= 1.5
+            |   THEN 1.0 - 6.0 * (dist/3.0) * (dist/3.0) * (1.0 - (dist/3.0))
+            |   ELSE 2.0 * (1.0 - (dist/3.0)) * (1.0 - (dist/3.0))
+            |    * (1.0 - (dist/3.0)) END AS w
+            |  FROM k)
+            |SELECT qid, round(SUM(w * value) / SUM(w), 6) AS wval,
+            | CAST(COUNT(*) AS INT) AS neighbors
+            |FROM w GROUP BY qid""".stripMargin).replace("\n", " "),
+
       "q_knn_window_boxcar" ->
         (knnRanked +
           """ , k AS (SELECT * FROM r WHERE rank <= 4)
@@ -1927,6 +1984,12 @@ object SparkEntry {
       },
 
       "q_ngram_jaccard" -> SparkEntry.trigramJaccardSql(0.2),
+
+      // near-dup pairs derived independently; hamming-closeness affirmed
+      "q_simhash_neardup" ->
+        s"""SELECT id_a, id_b, TRUE AS close
+           |FROM (${SparkEntry.trigramJaccardSql(0.9)})"""
+          .stripMargin.replace("\n", " "),
 
       "q_minhash_lsh" -> SparkEntry.trigramJaccardSql(0.2),
 
