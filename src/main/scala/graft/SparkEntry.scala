@@ -85,6 +85,86 @@ object SparkEntry {
        |SELECT id_a, id_b, round(jac, 9) AS jac FROM pairs
        |WHERE jac >= $threshold""".stripMargin.replace("\n", " ")
 
+  /** DuckDB mirror of [[graft.pipeline.ImageTableGen]]'s PNG raster: the
+    * FNV-1a phash and SplitMix64 footprint draws re-run in HUGEINT
+    * mod-2^64 arithmetic, the analytic field re-sampled with the same fp
+    * operation ORDER (toRadians = x/180*π, not x*(π/180)), the float
+    * quantization chain (round = floor(f+0.5f) on FLOAT) and the /255f
+    * decode — so the engine's byte-level PNG encode→decode→features path
+    * is value-checked against an independent reimplementation.
+    */
+  def imagePixelSql(nImages: Int, size: Int): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val Gold = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+    // the 64x64-bit mix multiplies overflow INT128, so they run as
+    // split 32-bit mulmods: (a*b) % 2^64 = (a*bl + ((a*bh) % 2^32)*2^32) % 2^64
+    def mulmod(a: String, bh: Long, bl: Long): String =
+      s"(($a * $bl + (($a * $bh) % 4294967296) * 4294967296) % $M)"
+    val (bh1, bl1) = (0xbf58476d1ce4e5b9L >>> 32, 0xbf58476d1ce4e5b9L & 0xFFFFFFFFL)
+    val (bh2, bl2) = (0x94d049bb133111ebL >>> 32, 0x94d049bb133111ebL & 0xFFFFFFFFL)
+    var h = "14695981039346656037::HUGEINT"    // FNV-1a offset basis
+    for (ch <- "img")
+      h = s"((xor($h, ${ch.toInt}) * 1099511628211) % $M)"
+    for (j <- 0 until 12) {
+      val p = "1" + ("0" * (11 - j))
+      h = s"((xor($h, 48 + ((i // $p) % 10)) * 1099511628211) % $M)"
+    }
+    val sb = new StringBuilder
+    sb ++= s"WITH idx AS (SELECT i FROM range($nImages) t(i)), "
+    sb ++= s"ph AS (SELECT i, $h AS st0 FROM idx)"
+    for (d <- 1 to 3) {
+      val carry = (1 until d).map(k => s"u$k").mkString(", ")
+      val cc = if (carry.isEmpty) "" else s", $carry"
+      val src = if (d == 1) "ph" else s"d${d - 1}"
+      sb ++= s", s$d AS (SELECT i$cc, ((st${d - 1} + $Gold) % $M) AS st$d " +
+        s"FROM $src)"
+      sb ++= s", x${d}a AS (SELECT i$cc, st$d, " +
+        s"xor(st$d, st$d >> 30) AS x1 FROM s$d)"
+      sb ++= s", m${d}a AS (SELECT i$cc, st$d, " +
+        s"${mulmod("x1", bh1, bl1)} AS z1 FROM x${d}a)"
+      sb ++= s", x${d}b AS (SELECT i$cc, st$d, " +
+        s"xor(z1, z1 >> 27) AS x2 FROM m${d}a)"
+      sb ++= s", m${d}b AS (SELECT i$cc, st$d, " +
+        s"${mulmod("x2", bh2, bl2)} AS z2 FROM x${d}b)"
+      sb ++= s", m${d}c AS (SELECT i$cc, st$d, xor(z2, z2 >> 31) AS z3 " +
+        s"FROM m${d}b)"
+      sb ++= s", d$d AS (SELECT i$cc, st$d, " +
+        s"CAST(z3 >> 11 AS DOUBLE) * 1.1102230246251565e-16 AS u$d " +
+        s"FROM m${d}c)"
+    }
+    sb ++=
+      """, geo AS (SELECT i,
+        | CASE WHEN u1 < 0.2 THEN 120.0 + u2 * 2.0
+        |  ELSE 80.0 + u2 * 89.5 END AS lon,
+        | CASE WHEN u1 < 0.2 THEN 10.0 + u3 * 2.0
+        |  ELSE -45.0 + u3 * 74.5 END AS lat
+        | FROM d3)""".stripMargin
+    sb ++= s""", pix AS (SELECT i,
+        | lon + c * (0.5 / ${size - 1}) AS plon,
+        | lat + r * (0.5 / ${size - 1}) AS plat
+        | FROM geo CROSS JOIN range($size) rr(r)
+        |  CROSS JOIN range($size) cc(c))""".stripMargin
+    sb ++=
+      """, fld AS (SELECT i,
+        | sin(3 * (plon / 180.0 * pi()) * 4) * cos(2 * (plat / 180.0 * pi()) * 4)
+        |  + 0.5 * sin(5 * (plon / 180.0 * pi()) * 4)
+        |    * sin(4 * (plat / 180.0 * pi()) * 4) AS v
+        | FROM pix)""".stripMargin
+    sb ++=
+      """, qv AS (SELECT i,
+        | CAST(GREATEST(0, LEAST(255, CAST(floor(
+        |   CAST((v + 1.5) / 3.0 AS FLOAT) * CAST(255 AS FLOAT)
+        |    + CAST(0.5 AS FLOAT)) AS INTEGER))) AS FLOAT)
+        |  / CAST(255 AS FLOAT) AS px
+        | FROM fld)""".stripMargin
+    sb ++= s"""SELECT printf('img%012d', i) AS image_id,
+        | round(SUM(CAST(px AS DOUBLE)) / ${size * size}, 7) AS px_mean,
+        | round(MIN(CAST(px AS DOUBLE)), 7) AS px_min,
+        | round(MAX(CAST(px AS DOUBLE)), 7) AS px_max
+        |FROM qv GROUP BY 1""".stripMargin
+    sb.toString.replace("\n", " ")
+  }
+
   /** Merged-period CTE chain over a (user_id, ts, te) source query: the
     * SQL mirror of [[graft.operators.Periods.merge]] (gap 0). Emits CTEs
     * named `<tag>m/<tag>g/<tag>s/<tag>per`; the final one has
@@ -964,6 +1044,20 @@ object SparkEntry {
         .select(substring(col("video_id"), 4, 9).cast("long").as("vid_idx"),
           col("n_sampled"), col("max_frame"), col("n_moving"))
     }),
+    "q_audio_pcm" -> ((s, dir) => {
+      // PCM decode contract oracle: the tone synthesis is deterministic
+      // quantized trig, so DuckDB regenerates the samples from the same
+      // closed form and recomputes RMS / peak / zero-crossing rate — the
+      // byte-level decode path is value-checked end to end (the FFT
+      // centroid stays in q_audio_features, physics-gated in ScalaTest)
+      val n = s.read.parquet(t(dir, "nation")).count()
+      val clips = MultimodalOps.synthesizeAudio(s, n, sampleRate = 8000,
+        nSamples = 2048).toDF()
+      MultimodalOps.audioFeatures(s, clips)
+        .select(col("audio_id"), round(col("rms"), 6).as("rms"),
+          round(col("peak"), 6).as("peak"),
+          round(col("zcr_freq"), 6).as("zcr"))
+    }),
     "q_audio_features" -> ((s, dir) => {
       // PCM feature extraction (FFT spectral centroid): engine-specific
       // DSP -> rows-only; physics asserted in MultimodalSpec
@@ -1283,6 +1377,18 @@ object SparkEntry {
           col("neighbors"))
     }),
 
+    "q_image_pixels" -> ((s, dir) => {
+      // image DECODE oracle: all-PNG fixture (lossless), DuckDB re-derives
+      // every pixel byte from the FNV/SplitMix/analytic-field closed form
+      // and recomputes the pixel statistics independently
+      val images = graft.pipeline.ImageTableGen
+        .generate(s, 64, 16, jpegFrac = 0.0).toDF()
+      ImageOps.features(images)
+        .select(col("image_id"),
+          round(col("px_mean"), 7).as("px_mean"),
+          round(col("px_min"), 7).as("px_min"),
+          round(col("px_max"), 7).as("px_max"))
+    }),
     // ======== multimodal image ops (rows-only; PSNR-gated in ScalaTest) ===
     "q_image_features" -> ((s, dir) => {
       val images = graft.pipeline.ImageTableGen.generate(s, 64, 16).toDF()
@@ -1767,6 +1873,32 @@ object SparkEntry {
           | CAST(l_suppkey % 8 AS INT) AS iy, COUNT(*) AS cnt,
           | MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v
           |FROM lineitem GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+      // PNG decode oracle: pixels re-derived end-to-end in DuckDB
+      "q_image_pixels" -> SparkEntry.imagePixelSql(64, 16),
+
+      // PCM decode oracle: regenerate the quantized tone samples from the
+      // same closed form (trunc quantization, clamp, /32767 decode) and
+      // recompute RMS / peak / zero-crossing rate
+      "q_audio_pcm" ->
+        """WITH clips AS (SELECT n_nationkey AS i,
+          |  220.0 + (n_nationkey % 20) * 55.0 AS f1 FROM nation),
+          | smp AS (SELECT i, k,
+          |  GREATEST(-32767, LEAST(32767, CAST(trunc(
+          |   (0.6 * sin(2 * pi() * f1 * (k / 8000.0))
+          |    + 0.25 * sin(2 * pi() * (f1 * 1.5) * (k / 8000.0)))
+          |   * 32767) AS INTEGER))) / 32767.0 AS x
+          |  FROM clips CROSS JOIN range(2048) t(k)),
+          | f AS (SELECT i, k, x,
+          |  CASE WHEN k > 0 AND ((x >= 0) <>
+          |   (lag(x) OVER (PARTITION BY i ORDER BY k) >= 0))
+          |   THEN 1 ELSE 0 END AS zc
+          |  FROM smp)
+          |SELECT printf('aud%09d', i) AS audio_id,
+          | round(sqrt(SUM(x * x) / 2048), 6) AS rms,
+          | round(MAX(abs(x)), 6) AS peak,
+          | round(SUM(zc) / 2048.0 * 8000 / 2.0, 6) AS zcr
+          |FROM f GROUP BY 1""".stripMargin.replace("\n", " "),
 
       // fill contract oracle: knowns preserved exactly, holes filled
       // within the low-pass range — per-nation row set + TRUE flags
