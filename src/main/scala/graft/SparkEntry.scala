@@ -93,7 +93,41 @@ object SparkEntry {
     * decode — so the engine's byte-level PNG encode→decode→features path
     * is value-checked against an independent reimplementation.
     */
-  def imagePixelSql(nImages: Int, size: Int): String = {
+  def imagePixelSql(nImages: Int, size: Int): String =
+    imagePixelCte(nImages, size) +
+      s"""SELECT printf('img%012d', i) AS image_id,
+         | round(SUM(CAST(px AS DOUBLE)) / ${size * size}, 7) AS px_mean,
+         | round(MIN(CAST(px AS DOUBLE)), 7) AS px_min,
+         | round(MAX(CAST(px AS DOUBLE)), 7) AS px_max
+         |FROM qv GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[graft.operators.ImageOps.resize]] at sampled
+    * output pixels: the bilinear source coordinates and weights are
+    * CONSTANTS for fixed in/out shapes, computed here with the engine's
+    * own fp arithmetic and embedded as literals; the 4 corner pixels come
+    * from the regenerated raster (same CTE chain as [[imagePixelSql]]).
+    */
+  def imageResizeSql(nImages: Int, size: Int, outW: Int, outH: Int,
+                     samples: Seq[(Int, Int)]): String = {
+    val cols = samples.map { case (oy, ox) =>
+      val sy = if (outH == 1) 0.0 else oy.toDouble * (size - 1) / (outH - 1)
+      val y0 = math.min(sy.toInt, size - 2)
+      val ty = sy - y0
+      val sx = if (outW == 1) 0.0 else ox.toDouble * (size - 1) / (outW - 1)
+      val x0 = math.min(sx.toInt, size - 2)
+      val tx = sx - x0
+      def p(rr: Int, cc: Int) =
+        s"MAX(CASE WHEN r = $rr AND c = $cc THEN CAST(px AS DOUBLE) END)"
+      s"round(CAST(CAST((1 - $tx) * ((1 - $ty) * ${p(y0, x0)} " +
+        s"+ $ty * ${p(y0 + 1, x0)}) + $tx * ((1 - $ty) * ${p(y0, x0 + 1)} " +
+        s"+ $ty * ${p(y0 + 1, x0 + 1)}) AS FLOAT) AS DOUBLE), 6) " +
+        s"AS px_${oy}_$ox"
+    }.mkString(", ")
+    imagePixelCte(nImages, size) +
+      s"SELECT printf('img%012d', i) AS image_id, $cols FROM qv GROUP BY 1"
+  }
+
+  private def imagePixelCte(nImages: Int, size: Int): String = {
     val M = "18446744073709551616::HUGEINT"
     val Gold = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
     // the 64x64-bit mix multiplies overflow INT128, so they run as
@@ -139,30 +173,66 @@ object SparkEntry {
         | CASE WHEN u1 < 0.2 THEN 10.0 + u3 * 2.0
         |  ELSE -45.0 + u3 * 74.5 END AS lat
         | FROM d3)""".stripMargin
-    sb ++= s""", pix AS (SELECT i,
+    sb ++= s""", pix AS (SELECT i, r, c,
         | lon + c * (0.5 / ${size - 1}) AS plon,
         | lat + r * (0.5 / ${size - 1}) AS plat
         | FROM geo CROSS JOIN range($size) rr(r)
         |  CROSS JOIN range($size) cc(c))""".stripMargin
     sb ++=
-      """, fld AS (SELECT i,
+      """, fld AS (SELECT i, r, c,
         | sin(3 * (plon / 180.0 * pi()) * 4) * cos(2 * (plat / 180.0 * pi()) * 4)
         |  + 0.5 * sin(5 * (plon / 180.0 * pi()) * 4)
         |    * sin(4 * (plat / 180.0 * pi()) * 4) AS v
         | FROM pix)""".stripMargin
     sb ++=
-      """, qv AS (SELECT i,
+      """, qv AS (SELECT i, r, c,
         | CAST(GREATEST(0, LEAST(255, CAST(floor(
         |   CAST((v + 1.5) / 3.0 AS FLOAT) * CAST(255 AS FLOAT)
         |    + CAST(0.5 AS FLOAT)) AS INTEGER))) AS FLOAT)
         |  / CAST(255 AS FLOAT) AS px
-        | FROM fld)""".stripMargin
-    sb ++= s"""SELECT printf('img%012d', i) AS image_id,
-        | round(SUM(CAST(px AS DOUBLE)) / ${size * size}, 7) AS px_mean,
-        | round(MIN(CAST(px AS DOUBLE)), 7) AS px_min,
-        | round(MAX(CAST(px AS DOUBLE)), 7) AS px_max
-        |FROM qv GROUP BY 1""".stripMargin
+        | FROM fld) """.stripMargin
     sb.toString.replace("\n", " ")
+  }
+
+  /** DuckDB mirror of [[graft.operators.Similarity.lshTopK]]: the
+    * hyperplanes are DRIVER-SIDE constants (splitmix-generated), so the
+    * oracle embeds the same matrices as literal DOUBLE[] lists, rebuilds
+    * every table's sign-bit bucket, unions the same-bucket candidates
+    * (UNION dedups like the engine's distinct), and ranks by exact
+    * cosine — the whole approximate-search pipeline is value-checked,
+    * not just its recall.
+    */
+  def annLshSql(queryPred: String, k: Int, planes: Int, tables: Int,
+                seed: Long, dims: Int): String = {
+    val bucketCols = (0 until tables).map { t =>
+      val m = graft.operators.Similarity.planeMatrix(planes, dims,
+        seed + t * 7919L)
+      val bits = (0 until planes).map { p =>
+        val lst = m(p).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(emb, $lst::DOUBLE[]) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }.mkString(", ")
+    val qCols = (0 until tables).map(t => s"b$t AS qb$t").mkString(", ")
+    val cand = (0 until tables).map(t =>
+      s"SELECT q.qid, be.vec_id AS id FROM q JOIN be ON be.b$t = q.qb$t")
+      .mkString(" UNION ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       | be AS (SELECT vec_id, emb, $bucketCols FROM e),
+       | q AS (SELECT vec_id AS qid, emb AS qe, $qCols FROM be
+       |  WHERE $queryPred),
+       | cand AS ($cand),
+       | d AS (SELECT c.qid, c.id,
+       |   list_dot_product(q.qe, e.emb) /
+       |    (sqrt(list_dot_product(q.qe, q.qe)) *
+       |     sqrt(list_dot_product(e.emb, e.emb))) AS cos
+       |  FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.id),
+       | r AS (SELECT qid, id, row_number() OVER
+       |   (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
+       |SELECT qid, id, rank FROM r WHERE rank <= $k"""
+      .stripMargin.replace("\n", " ")
   }
 
   /** Merged-period CTE chain over a (user_id, ts, te) source query: the
@@ -993,13 +1063,15 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank"))
     }),
     "q_ann_lsh_cosine" -> ((s, dir) => {
-      // LSH-bucketed ANN: engine-specific buckets -> rows-only check
-      // (recall vs bruteForceTopK is measured in Bench)
+      // LSH-bucketed ANN, EXACT oracle: the hyperplanes are constants, so
+      // DuckDB rebuilds the same buckets/candidates/ranking independently
+      // (recall vs bruteForceTopK additionally measured in Bench)
       val emb = s.read.parquet(t(dir, "embeddings"))
       val items = emb.select(col("vec_id").as("id"), col("embedding"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.lshTopK(items, queries, k = 5, planes = 6, tables = 4)
+        .select(col("qid"), col("id"), col("rank"))
     }),
     "q_ann_lsh_big_probe" -> ((s, dir) => {
       // item↔item self-ANN: the query side IS the item table, so the
@@ -1397,10 +1469,19 @@ object SparkEntry {
           col("ahash"))
     }),
     "q_image_resize" -> ((s, dir) => {
-      val images = graft.pipeline.ImageTableGen.generate(s, 32, 16).toDF()
+      // bilinear resize oracle: all-PNG fixture; sampled output pixels
+      // (corner, interior with fractional weights, far corner) re-derived
+      // in DuckDB from the regenerated raster + literal bilinear weights
+      val images = graft.pipeline.ImageTableGen
+        .generate(s, 32, 16, jpegFrac = 0.0).toDF()
       ImageOps.resize(images, 8, 8)
-        .select(col("image_id"), round(element_at(col("resized"), 1), 6)
-          .as("px0"))
+        .select(col("image_id"),
+          round(element_at(col("resized"), 1).cast("double"), 6)
+            .as("px_0_0"),
+          round(element_at(col("resized"), 3 * 8 + 4 + 1).cast("double"), 6)
+            .as("px_3_4"),
+          round(element_at(col("resized"), 7 * 8 + 7 + 1).cast("double"), 6)
+            .as("px_7_7"))
     }),
 
     // ======== windowed grid methods (rows-only; value-tested) ========
@@ -1877,6 +1958,10 @@ object SparkEntry {
       // PNG decode oracle: pixels re-derived end-to-end in DuckDB
       "q_image_pixels" -> SparkEntry.imagePixelSql(64, 16),
 
+      // bilinear resize at sampled output pixels, literal weights
+      "q_image_resize" -> SparkEntry.imageResizeSql(32, 16, 8, 8,
+        Seq((0, 0), (3, 4), (7, 7))),
+
       // PCM decode oracle: regenerate the quantized tone samples from the
       // same closed form (trunc quantization, clamp, /32767 decode) and
       // recompute RMS / peak / zero-crossing rate
@@ -2139,6 +2224,15 @@ object SparkEntry {
           |  FROM base a JOIN base b ON a.id < b.id)
           |SELECT id_a, id_b FROM p WHERE cos >= 0.7"""
           .stripMargin.replace("\n", " "),
+
+      // ANN pipelines rebuilt independently from the literal hyperplanes
+      "q_ann_lsh_cosine" ->
+        SparkEntry.annLshSql("vec_id < 10", k = 5, planes = 6, tables = 4,
+          seed = 42L, dims = 64),
+
+      "q_ann_lsh_big_probe" ->
+        SparkEntry.annLshSql("TRUE", k = 5, planes = 6, tables = 4,
+          seed = 42L, dims = 64),
 
       "q_topk_cosine" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -62,7 +62,7 @@ object Similarity {
     * zero-mean components in [-1, 1]. Evaluated ONCE on the driver; the
     * per-row work is plain arithmetic inside whole-stage codegen.
     */
-  private[operators] def planeMatrix(planes: Int, dims: Int,
+  private[graft] def planeMatrix(planes: Int, dims: Int,
       seed: Long): Array[Array[Double]] =
     Array.tabulate(planes, dims) { (p, d) =>
       splitmix64(seed * 1000003L + p.toLong * 65537L + d).toDouble /
