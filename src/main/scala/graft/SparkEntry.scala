@@ -2234,6 +2234,34 @@ object SparkEntry {
         SparkEntry.annLshSql("TRUE", k = 5, planes = 6, tables = 4,
           seed = 42L, dims = 64),
 
+      // tile ASSIGNMENT oracle: footprints re-derived from the RNG chain;
+      // cover = distinct corner cells (footprint 0.5° < 5.625°x2.8125°
+      // cells at precision 12); a tile is emitted only when a sample
+      // point — (k+0.5)/8 of the cell per axis — falls inside the
+      // footprint, mirrored via EXISTS; n_images counts emitting images
+      "q_tile_pipeline" -> {
+        def corner(dx: String, dy: String) =
+          s"SELECT i, lon, lat, " +
+            s"${geohashSql(s"(lon + $dx)", s"(lat + $dy)", 12)} AS cell, " +
+            s"floor(((lon + $dx) + 180.0) / 5.625) * 5.625 - 180.0 AS cx0, " +
+            s"floor(((lat + $dy) + 90.0) / 2.8125) * 2.8125 - 90.0 AS cy0 " +
+            "FROM geo"
+        SparkEntry.imagePixelCte(64, 16) +
+          s""", cc AS (SELECT DISTINCT i, lon, lat, cell, cx0, cy0 FROM
+             |  (${corner("0.0", "0.0")} UNION ALL ${corner("0.5", "0.0")}
+             |   UNION ALL ${corner("0.0", "0.5")}
+             |   UNION ALL ${corner("0.5", "0.5")}) u),
+             | ok AS (SELECT i, cell FROM cc
+             |  WHERE EXISTS (SELECT 1 FROM range(8) s(ii)
+             |   WHERE cx0 + (ii + 0.5) * 0.703125 >= lon
+             |    AND cx0 + (ii + 0.5) * 0.703125 <= lon + (0.5 / 15) * 15)
+             |  AND EXISTS (SELECT 1 FROM range(8) t2(jj)
+             |   WHERE cy0 + (jj + 0.5) * 0.3515625 >= lat
+             |    AND cy0 + (jj + 0.5) * 0.3515625 <= lat + (0.5 / 15) * 15))
+             |SELECT cell, CAST(COUNT(*) AS INT) AS n_images
+             |FROM ok GROUP BY cell""".stripMargin.replace("\n", " ")
+      },
+
       "q_topk_cosine" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
           |  FROM embeddings),

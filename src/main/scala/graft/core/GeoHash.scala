@@ -123,17 +123,22 @@ object GeoHash {
     * (`int64.cpp:259-288`). Hashes of the grid enumerate row-major from the
     * SW corner via `neighborEast`/`neighborNorth` steps.
     */
+  /** Cell count is INCLUSIVE of both corner cells: index-diff + 1 (the
+    * r3 q_tile_pipeline oracle caught the former round(diff)-only form
+    * silently dropping every NE row/column — an image whose footprint
+    * straddled a cell boundary produced an EMPTY cover). The NE corner is
+    * clamped just inside the domain so encode cannot wrap at ±180/±90.
+    */
   def gridProperties(lonMin: Double, latMin: Double, lonMax: Double,
                      latMax: Double, precision: Int): (Long, Int, Int) = {
     val hashSw = encode(lonMin, latMin, precision)
     val boxSw = boundingBox(hashSw, precision)
-    val boxNe = boundingBox(encode(lonMax, latMax, precision), precision)
-    if (boxSw == boxNe) return (hashSw, 1, 1)
-    val lonOffset = if (lonMax == 180.0) 1 else 0
-    val latOffset = if (latMax == 90.0) 1 else 0
+    val neLon = if (lonMax >= 180.0) math.nextDown(180.0) else lonMax
+    val neLat = if (latMax >= 90.0) math.nextDown(90.0) else latMax
+    val boxNe = boundingBox(encode(neLon, neLat, precision), precision)
     val (lonErr, latErr) = errorWithPrecision(precision)
-    val nLon = math.round((boxNe._1 - boxSw._1) / lonErr).toInt + lonOffset
-    val nLat = math.round((boxNe._2 - boxSw._2) / latErr).toInt + latOffset
+    val nLon = math.round((boxNe._1 - boxSw._1) / lonErr).toInt + 1
+    val nLat = math.round((boxNe._2 - boxSw._2) / latErr).toInt + 1
     (hashSw, nLon, nLat)
   }
 

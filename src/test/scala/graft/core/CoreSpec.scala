@@ -113,6 +113,18 @@ class GeoHashSpec extends AnyFunSuite {
     }
     // the encoded center cell is part of the cover
     assert(cells.contains(GeoHash.encode(0.0, 0.0, 20)))
+    // COMPLETENESS (r3 bug: round(diff) dropped the NE row/column and
+    // boundary-straddling boxes got an empty cover): every corner's cell
+    // must be in the cover, for boxes both smaller and larger than cells
+    for (box <- Seq((-1.0, -1.0, 1.0, 1.0), (10.1, 5.2, 10.3, 5.3),
+        (33.7, 21.4, 34.2, 21.9), (170.0, 80.0, 179.99, 89.99));
+        prec <- Seq(12, 20)) {
+      val (x0, y0, x1, y1) = box
+      val cover = GeoHash.coverBox(x0, y0, x1, y1, prec).toSet
+      for ((cx, cy) <- Seq((x0, y0), (x1, y0), (x0, y1), (x1, y1)))
+        assert(cover.contains(GeoHash.encode(cx, cy, prec)),
+          s"corner ($cx,$cy) cell missing from cover of $box at $prec")
+    }
   }
 }
 
