@@ -37,6 +37,12 @@ object Bench {
     val images = graft.pipeline.ImageTableGen.generate(spark, nImages,
       size = 32, partitions = parts)
     val t0 = System.nanoTime()
+    // spatialPartition stays OFF here: measured on this single-JVM host
+    // the extra image shuffle costs more than the better combine saves
+    // (shuffle = memcpy locally; on a real cluster it is network, where
+    // the coarse-cell co-location in TilePipeline.tiles pays). The
+    // kernel-local combine in tiles() is what keeps the allocation and
+    // shuffle rate bounded either way.
     val n = graft.pipeline.TilePipeline.tiles(spark, images, precision = 20,
       tileSize = 32, method = "bicubic").count()
     ((n, (System.nanoTime() - t0) / 1e9))
@@ -181,6 +187,14 @@ object Bench {
          |**Scaling efficiency (N -> 4N cores): ${f"$efficiency%.3f"}**
          |(BASELINE.json criterion >= 0.8; evidence protocol = identical
          |job at two local parallelism levels on identical input.)
+         |
+         |NOTE on round-2 -> round-3 throughput: r3 fixed a cover bug
+         |(`GeoHash.gridProperties` dropped the NE cover row/column, so
+         |boundary-straddling images lost most of their tiles and 28% of
+         |images were skipped outright). The corrected pipeline resamples
+         |every covered cell — ~2-3x more genuine work per image at the
+         |same tile count — so tiles/sec is NOT comparable to the r2
+         |number measured on the under-covering pipeline.
          |
          |Context for the ceiling on this sandbox VM (controls, measured):
          |a pure-arithmetic JVM thread loop scales 3.5x from 8 to 32

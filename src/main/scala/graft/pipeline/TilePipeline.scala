@@ -171,19 +171,51 @@ object TilePipeline {
     val prec = precision
     val ts = tileSize
     val m = method
-    // hash partitioning on the cell id (not range: RangePartitioner's
-    // sampling pass would evaluate the synthesis/scan twice); same-cell
-    // images co-locate either way, which is what the combine needs
+    // hash partitioning on a COARSENED cell id (precision - 6 ≙ 8x8-cell
+    // neighborhoods; not range: RangePartitioner's sampling pass would
+    // evaluate the synthesis/scan twice). An image's cover cells are its
+    // 3x3-ish neighborhood, so neighborhood co-location is what lets the
+    // map-side combine collapse the ~10 contributors per output cell
+    // BEFORE the merge shuffle — same-fine-cell co-location collapses
+    // nothing at ~1 image/cell densities. Coarse enough blocks would
+    // recreate hot-cell skew (the 20% hot box), so 6 bits ≈ 64-cell
+    // blocks keeps the largest block a small multiple of the mean.
     val placed =
       if (spatialPartition)
         images.repartition(
-          graft.functions.gf.geohash_encode(col("lon"), col("lat"), prec))
+          graft.functions.gf.geohash_encode(col("lon"), col("lat"),
+            math.max(2, prec - 6)))
           .as[ImageRow]
       else images
     placed
       .mapPartitions { iter =>
+        // KERNEL-LOCAL COMBINE (r3): since the cover fix each image emits
+        // ~9 partial tiles (~72 KB) — flatMap churned that straight into
+        // the shuffle writer and allocation rate became the scaling
+        // bottleneck. Merging into a per-task map keeps one long-lived
+        // tile per local cell (mergeTiles mutates in place), emits at
+        // partition end, and flushes at a size cap so huge partitions
+        // degrade to partial combine instead of OOM.
         val kernel = new TileResampler(prec, ts, m)
-        iter.flatMap(kernel.process)
+        val acc = new java.util.HashMap[java.lang.Long, Tile]()
+        val flushed = scala.collection.mutable.ArrayBuffer.empty[Tile]
+        iter.foreach { row =>
+          val tiles = kernel.process(row)
+          tiles.foreach { t =>
+            val prev = acc.get(t.cell)
+            if (prev == null) acc.put(t.cell, t)
+            // mergeTiles mutates prev's arrays in place but carries the
+            // n_images sum on the RETURNED tile — put it back
+            else acc.put(t.cell, mergeTiles(prev, t))
+          }
+          if (acc.size > 50000) {
+            acc.values.forEach(v => flushed += v)
+            acc.clear()
+          }
+        }
+        val tail = new java.util.ArrayList[Tile](acc.values)
+        flushed.iterator ++ scala.jdk.CollectionConverters
+          .ListHasAsScala(tail).asScala.iterator
       }
       .groupByKey(_.cell)
       .reduceGroups(mergeTiles _)
