@@ -137,6 +137,24 @@ class TilePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("local-combine drain cap degrades to partial combine, same answer") {
+    // cap=2 forces constant mid-stream drains of the per-task merge map;
+    // the merge shuffle must reassemble identical tiles
+    val ds = ImageTableGen.generate(spark, 40, 16, jpegFrac = 0.0,
+      partitions = 3)
+    def res(cap: Int) =
+      TilePipeline.tiles(spark, ds, 12, 8, "bilinear", maxLocalCells = cap)
+        .collect().map(t => t.cell -> (t.n_images, t.count.sum,
+          t.mean.filterNot(_.isNaN).sum)).toMap
+    val tight = res(2)
+    val loose = res(50000)
+    assert(tight.keySet == loose.keySet && tight.nonEmpty)
+    tight.foreach { case (cell, (n, c, s)) =>
+      assert(loose(cell)._1 == n && loose(cell)._2 == c)
+      assert(math.abs(loose(cell)._3 - s) < 1e-9)
+    }
+  }
+
   test("run() writes manifest and resumes from snapshot") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-tiles").toString
     val (df1, rate1) = TilePipeline.run(spark, 20, 16, 12, 8, "bilinear", tmp)
