@@ -1211,7 +1211,15 @@ object SparkEntry {
         (sort_array(collect_set(col("x_ac"))) ===
           typedLit(expectedXac)).as("xac_grid_ok"),
         (max(abs(col("lat"))) <= 67.0).as("swath_lat_ok"))
-      catFlags.crossJoin(swFlags)
+      // exact fan-out relation: every pass line expands to the full
+      // 12-pixel across-track grid, so n_pixels ≡ 12 · n_points
+      val fanFlag = sw.groupBy(col("pass_number"))
+        .agg(count(lit(1)).as("n_pixels"))
+        .join(cat.select(col("pass_number"), col("n_points")), "pass_number")
+        .agg(coalesce(
+          min((col("n_pixels") === col("n_points") * 12).cast("int")),
+          lit(1)).cast("boolean").as("swath_fanout_ok"))
+      catFlags.crossJoin(swFlags).crossJoin(fanFlag)
     }),
     "q_orbit_swath" -> ((s, dir) => {
       // calculate_swath fan-out: one row per (pass, line, pixel);
@@ -1994,7 +2002,8 @@ object SparkEntry {
       // analytic-orbit consistency oracle: all flags must come back TRUE
       "q_orbit_analytic" ->
         ("SELECT TRUE AS lons_ok, TRUE AS times_ok, TRUE AS has_pass, " +
-          "TRUE AS xac_grid_ok, TRUE AS swath_lat_ok"),
+          "TRUE AS xac_grid_ok, TRUE AS swath_lat_ok, " +
+          "TRUE AS swath_fanout_ok"),
 
       // tolerance oracle: the Spark side emits "sketch within 1%-of-range
       // of Spark's exact percentile" booleans; hashes match iff all TRUE

@@ -443,28 +443,73 @@ object GeometryAlgorithms {
     * vertex with no strictly-inside sample can under-report the
     * boundary-interior entries.
     */
-  def relate(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): String = {
-    val pa = poly(a)
-    val pb = poly(b)
-    def samples(r: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+  def relate(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): String =
+    relatePolygons(poly(a), poly(b))
+
+  /** A point strictly inside the polygon (hole-aware): inward offsets
+    * from exterior-edge midpoints at a few scales. A valid polygon's
+    * interior is connected, so ONE interior point decides containment
+    * questions for the whole interior.
+    */
+  private[core] def interiorPoint(p: Polygon2D): Option[Pt] = {
+    val r = p.exterior
+    val n = r.length
+    val (x0, y0, x1, y1) = p.bbox
+    val d = math.max(x1 - x0, y1 - y0)
+    val candidates = for {
+      i <- (0 until n).iterator
+      s <- Iterator(1e-6, 1e-3, 1e-2).map(_ * d)
+      sign <- Iterator(1.0, -1.0)
+    } yield {
+      val a = r(i); val b = r((i + 1) % n)
+      val mx = (a._1 + b._1) / 2; val my = (a._2 + b._2) / 2
+      val ex = b._1 - a._1; val ey = b._2 - a._2
+      val len = math.hypot(ex, ey)
+      if (len == 0) (mx, my)
+      else (mx - sign * ey / len * s, my + sign * ex / len * s)
+    }
+    candidates.find(q => p.contains(q._1, q._2))
+  }
+
+  /** Hole-aware DE-9IM (see [[relate]] for the matrix convention): the
+    * boundary is the union of exterior + hole rings, location is
+    * [[Polygon2D.locate]] (hole-aware), exact ring tests run across all
+    * ring pairs, and closure containment is disambiguated with an
+    * INTERIOR point — boundary samples alone claim "B ⊆ closure A" when
+    * B exactly fills one of A's holes.
+    */
+  def relatePolygons(pa: Polygon2D, pb: Polygon2D): String = {
+    def ringsOf(p: Polygon2D): Seq[IndexedSeq[Pt]] =
+      (p.exterior.toIndexedSeq: IndexedSeq[Pt]) +:
+        p.holes.toSeq.map(h => h.toIndexedSeq: IndexedSeq[Pt])
+    val ringsA = ringsOf(pa)
+    val ringsB = ringsOf(pb)
+    def samples(rs: Seq[IndexedSeq[Pt]]): Seq[Pt] = rs.flatMap { r =>
       val n = r.length
       r ++ (0 until n).map { i =>
         val p = r(i); val q = r((i + 1) % n)
         ((p._1 + q._1) / 2, (p._2 + q._2) / 2)
       }
     }
-    val clsA = samples(a).map(p => pb.locate(p._1, p._2)) // ∂A in B
-    val clsB = samples(b).map(p => pa.locate(p._1, p._2)) // ∂B in A
-    val pc = properCross(a, b)
-    val co = collinearOverlap(a, b)
+    val clsA = samples(ringsA).map(p => pb.locate(p._1, p._2)) // ∂A in B
+    val clsB = samples(ringsB).map(p => pa.locate(p._1, p._2)) // ∂B in A
+    val pc = ringsA.exists(ra => ringsB.exists(rb => properCross(ra, rb)))
+    val co =
+      ringsA.exists(ra => ringsB.exists(rb => collinearOverlap(ra, rb)))
     val aInsideSome = clsA.contains(1)
     val bInsideSome = clsB.contains(1)
-    val aInClosureB = !pc && clsA.forall(_ >= 1)
-    val bInClosureA = !pc && clsB.forall(_ >= 1)
-    // containment covers the clip-degenerate identical/shared-boundary
-    // cases (Greiner-Hormann vertex-on-vertex caveat) before the probe
+    val ipA = interiorPoint(pa)
+    val ipB = interiorPoint(pb)
+    // boundary containment (∂X ⊆ closure Y) and full closure containment
+    // (X ⊆ closure Y) split exactly when X fills one of Y's holes: the
+    // shared ring keeps ∂X inside closure Y while X's interior escapes
+    val bndAInB = !pc && clsA.forall(_ >= 1)
+    val bndBInA = !pc && clsB.forall(_ >= 1)
+    val aInClosureB = bndAInB && ipA.forall(q => pb.coveredBy(q._1, q._2))
+    val bInClosureA = bndBInA && ipB.forall(q => pa.coveredBy(q._1, q._2))
     val interiorsMeet = pc || aInsideSome || bInsideSome ||
-      containsPoly(a, b) || containsPoly(b, a) || interiorsIntersect(a, b)
+      ipA.exists(q => pb.contains(q._1, q._2)) ||
+      ipB.exists(q => pa.contains(q._1, q._2))
     val ii = if (interiorsMeet) '2' else 'F'
     val ib = if (pc || bInsideSome) '1' else 'F'
     val ie = if (aInClosureB) 'F' else '2'
@@ -473,9 +518,9 @@ object GeometryAlgorithms {
       if (co) '1'
       else if (pc || clsA.contains(2) || clsB.contains(2)) '0'
       else 'F'
-    val be = if (aInClosureB) 'F' else '1'
+    val be = if (bndAInB) 'F' else '1'
     val ei = if (bInClosureA) 'F' else '2'
-    val eb = if (bInClosureA) 'F' else '1'
+    val eb = if (bndBInA) 'F' else '1'
     s"$ii$ib$ie$bi$bb$be$ei${eb}2"
   }
 }

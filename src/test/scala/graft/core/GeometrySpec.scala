@@ -95,6 +95,25 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
     assert(relate(t3, a) === "2FF1FF212")
   }
 
+  test("DE-9IM relate is hole-aware") {
+    val annulus = Polygon2D(
+      rect(0, 0, 10, 10).toArray,
+      Array(rect(4, 4, 6, 6).toArray))
+    // B strictly inside the HOLE: point-set disjoint
+    assert(relatePolygons(annulus,
+      Polygon2D(rect(4.5, 4.5, 5.5, 5.5).toArray)) === "FF2FF1212")
+    // B fills the hole EXACTLY: boundaries share the ring (dim 1), B's
+    // interior lies in A's exterior, ∂B never leaves closure(A)
+    assert(relatePolygons(annulus,
+      Polygon2D(rect(4, 4, 6, 6).toArray)) === "FF2F112F2")
+    // B overlapping the solid part: ordinary overlap matrix
+    assert(relatePolygons(annulus,
+      Polygon2D(rect(-1.0, -1.0, 2.0, 2.0).toArray)) === "212101212")
+    // B = a strictly interior patch of the solid ring region
+    assert(relatePolygons(annulus,
+      Polygon2D(rect(1, 1, 3, 3).toArray)) === "212FF1FF2")
+  }
+
   test("clip: rectangle intersection/union/difference areas") {
     val a = rect(0, 0, 4, 4)
     val b = rect(2, 2, 6, 6)
