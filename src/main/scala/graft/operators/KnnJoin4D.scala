@@ -20,12 +20,26 @@ import graft.core.KdTree
   */
 object KnnJoin4D {
 
+  /** `broadcastThreshold` is a row count applied to Catalyst's byte
+    * estimate at ~48 B/row (no counting scan); `maxBroadcastRows` is the
+    * HARD collect-time cap — when the estimate undershoots, the limited
+    * collect detects it and the call falls over to the shuffle path
+    * (same safety contract as [[KnnJoin.Config]]).
+    */
   final case class Config4(
       k: Int = 8,
       radius: Double = Double.PositiveInfinity,
       cellSize: Double = 1.0,
       broadcastThreshold: Long = 500000L,
-      saltFactor: Int = 1)
+      saltFactor: Int = 1,
+      maxBroadcastRows: Long = 4000000L)
+
+  private def collectCapped[T](ds: org.apache.spark.sql.Dataset[T],
+      cap: Long): Option[Array[T]] = {
+    val lim = math.min(cap, Int.MaxValue.toLong - 2L).toInt
+    val a = ds.limit(lim + 1).collect()
+    if (a.length > lim) None else Some(a)
+  }
 
   case class B4(key: Long, c: Array[Double], value: Double,
                         sigma2: Double, id: Long)
@@ -64,8 +78,12 @@ object KnnJoin4D {
 
     // sigma2 rides as the second payload via id-indexed lookup arrays in
     // the broadcast path and inside B4 on the shuffle path
-    if (useBroadcast(build, cfg)) {
-      val pts = buildTyped.collect()
+    val collected =
+      if (useBroadcast(build, cfg))
+        collectCapped(buildTyped, cfg.maxBroadcastRows)
+      else None
+    if (collected.isDefined) {
+      val pts = collected.get
       val tree = KdTree.build(pts.iterator.map(p =>
         (Array(p._1, p._2, p._3, p._4), p._5, p._7)), 4)
       val sigmaById = pts.map(p => p._7 -> p._6).toMap
@@ -138,8 +156,12 @@ object KnnJoin4D {
         col("x1").cast("double"), col("x2").cast("double"),
         col("x3").cast("double"), col("x4").cast("double"))
       .as[(Long, Double, Double, Double, Double)]
-    if (useBroadcast(build, cfg)) {
-      val pts = buildTyped.collect()
+    val collected =
+      if (useBroadcast(build, cfg))
+        collectCapped(buildTyped, cfg.maxBroadcastRows)
+      else None
+    if (collected.isDefined) {
+      val pts = collected.get
       val tree = KdTree.build(pts.iterator.map(p =>
         (Array(p._1, p._2, p._3, p._4), p._5, p._7)), 4)
       val byId = pts.map(p => p._7 -> p).toMap

@@ -48,6 +48,20 @@ class ShuffleParitySpec extends AnyFunSuite {
     val dCap = KnnJoin.distanceJoin(spark, buildDf, probeDf, 2.0, capped)
     val dBc = KnnJoin.distanceJoin(spark, buildDf, probeDf, 2.0, bcCfg)
     assert(sortedRows(dCap) == sortedRows(dBc))
+    // 4-D variant honors the same cap contract
+    val b4 = (0 until 300).map(i => ((i % 12).toDouble,
+      (i * 5 % 12).toDouble, (i * 7 % 6).toDouble, (i % 4).toDouble,
+      (i % 31).toDouble, 0.25, i.toLong))
+      .toDF("x1", "x2", "x3", "x4", "value", "sigma2", "id")
+    val p4 = (0 until 30).map(i => (i.toLong, (i % 12) + 0.4,
+      (i * 5 % 12) + 0.4, (i % 6) + 0.3, (i % 4) + 0.2))
+      .toDF("qid", "x1", "x2", "x3", "x4")
+    val cfg4 = KnnJoin4D.Config4(k = 6, cellSize = 6.0,
+      broadcastThreshold = Long.MaxValue)
+    val rows4Bc = KnnJoin4D.knnJoinFlat(spark, b4, p4, cfg4)
+    val rows4Cap = KnnJoin4D.knnJoinFlat(spark, b4, p4,
+      cfg4.copy(maxBroadcastRows = 50L))
+    assert(sortedRows(rows4Cap) == sortedRows(rows4Bc))
   }
 
   test("distanceJoin: shuffle path ≡ broadcast path row sets") {
