@@ -967,9 +967,10 @@ object SparkEntry {
       // into a temp dir — the one-file "ingest" of the streaming contract
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
       tmp.toFile.deleteOnExit()
+      val staged = tmp.resolve("events.parquet")
+      staged.toFile.deleteOnExit() // dir deleteOnExit only works if empty
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(t(dir, "events")),
-        tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(t(dir, "events")), staged,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val stream = s.readStream.schema(schema).parquet(tmp.toString)
       val agg = graft.streaming.StreamingBinning.windowedStats(stream, "ts",

@@ -103,6 +103,12 @@ object Similarity {
     * falls back to plain shuffle equi-joins on (tbl, bucket) / qid / id,
     * which scales to any query-set size. `broadcastQueryBytes = 0` forces
     * the shuffle plan outright.
+    *
+    * Skew note: a degenerate corpus (many identical vectors) can make one
+    * (tbl, bucket) hot; unlike [[cosineNearDupPairs]] there is no
+    * hot-bucket drop here because silently dropping a bucket degrades
+    * top-k recall — dedup near-identical vectors first (the near-dup
+    * operator is the tool) or raise `planes` to split buckets.
     */
   def lshTopK(items: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               tables: Int = 4, seed: Long = 42L,
