@@ -149,8 +149,7 @@ object GridInterpolator {
       else gridTable.schema.fields.map(_.name)
         .filterNot(n => n == lonCol || n == latCol).headOption
         .getOrElse(throw new IllegalArgumentException("no value column"))
-    val xAxis = GridLoader.axisOf(gridTable, lonCol)
-    val yAxis = GridLoader.axisOf(gridTable, latCol)
+    val Seq(xAxis, yAxis) = GridLoader.axesOf(gridTable, Seq(lonCol, latCol))
     require(xAxis.isRegular && yAxis.isRegular && xAxis.size >= 2 &&
       yAxis.size >= 2 && !xAxis.isPeriodic && !yAxis.isPeriodic &&
       xAxis.front < xAxis.back && yAxis.front < yAxis.back,
@@ -229,9 +228,7 @@ object GridInterpolator {
       else gridTable.schema.fields.map(_.name)
         .filterNot(n => n == lonCol || n == latCol || n == zName).headOption
         .getOrElse(throw new IllegalArgumentException("no value column"))
-    val axes = Seq(GridLoader.axisOf(gridTable, lonCol),
-      GridLoader.axisOf(gridTable, latCol),
-      GridLoader.axisOf(gridTable, zName))
+    val axes = GridLoader.axesOf(gridTable, Seq(lonCol, latCol, zName))
     require(axes.forall(a => a.isRegular && a.size >= 2 && !a.isPeriodic &&
       a.front < a.back),
       "trivariateTable requires regular ascending non-periodic axes; load " +

@@ -56,16 +56,20 @@ object GridLoader {
     AxisRoles(lon, lat, time)
   }
 
-  /** Distinct sorted coordinate values of one axis — O(axis length)
-    * driver memory (the square root of the lattice size), never the
-    * lattice itself.
+  /** Distinct sorted coordinate values of several axes in ONE scan
+    * (`collect_set` aggregates) — only O(axis length) values reach the
+    * driver (the d-th root of the lattice size), never the lattice, and
+    * a d-dimensional load costs one pass instead of d distinct+sort
+    * jobs over the full table.
     */
-  private[graft] def axisOf(df: DataFrame, colName: String): Axis = {
-    val values = df.select(col(colName).cast("double")).distinct()
-      .orderBy(col(colName).cast("double"))
-      .collect().map(_.getDouble(0))
-    Axis(values)
+  private[graft] def axesOf(df: DataFrame, cols: Seq[String]): Seq[Axis] = {
+    val aggs = cols.map(c => collect_set(col(c).cast("double")).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => Axis(row.getSeq[Double](i).toArray.sorted))
   }
+
+  private[graft] def axisOf(df: DataFrame, colName: String): Axis =
+    axesOf(df, Seq(colName)).head
 
   /** Default byte budget for collecting a lattice to the driver (the
     * broadcast-grid contract). Above it [[grid2d]]/[[grid3d]] fail fast —
@@ -104,8 +108,7 @@ object GridLoader {
       else df.schema.fields.map(_.name)
         .filterNot(n => n == lonCol || n == latCol).headOption
         .getOrElse(throw new IllegalArgumentException("no value column"))
-    val xAxis = axisOf(df, lonCol)
-    val yAxis = axisOf(df, latCol)
+    val Seq(xAxis, yAxis) = axesOf(df, Seq(lonCol, latCol))
     val nx = xAxis.size
     val ny = yAxis.size
     val vals = Array.fill(nx * ny)(Double.NaN)
@@ -141,9 +144,7 @@ object GridLoader {
       else df.schema.fields.map(_.name)
         .filterNot(n => n == lonCol || n == latCol || n == zCol).headOption
         .getOrElse(throw new IllegalArgumentException("no value column"))
-    val xAxis = axisOf(df, lonCol)
-    val yAxis = axisOf(df, latCol)
-    val zAxis = axisOf(df, zCol)
+    val Seq(xAxis, yAxis, zAxis) = axesOf(df, Seq(lonCol, latCol, zCol))
     val ny = yAxis.size
     val nz = zAxis.size
     val vals = Array.fill(xAxis.size * ny * nz)(Double.NaN)
