@@ -1505,6 +1505,27 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
 
+    "q_akima_mid" -> ((s, dir) => {
+      // OFF-node akima with an EXACT oracle: on the quadratic field
+      // z = x² + y² every |Δm| is equal, so the akima weights cancel and
+      // the interpolant collapses to the cubic Hermite with slopes
+      // (m_{i-1}+m_i)/2 = 2i — a closed form; separability holds because
+      // akima is invariant under additive constants (the x-pass adds a
+      // per-row constant to the y-pass data). Probes sit a quarter-cell
+      // off-node so the Hermite basis values are exact binary fractions.
+      val ax = Axis.regular(0.0, 40.0, 41)
+      val vals = new Array[Double](41 * 41)
+      for (i <- 0 until 41; j <- 0 until 41)
+        vals(i * 41 + j) = (i * i + j * j).toDouble
+      val g = Grid2D(ax, ax, vals)
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").plus(0.25).as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.25).as("y"))
+      GridInterpolator.bivariate(s, probe, "x", "y", g, "akima")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+
     // ======== flagship pipeline (rows-only; verified in ScalaTest) ========
     "q_tile_pipeline" -> ((s, dir) => {
       val images = graft.pipeline.ImageTableGen.generate(s, 64, 16)
@@ -1701,6 +1722,21 @@ object SparkEntry {
           |SELECT o_orderkey,
           | SUM(CAST(f % 53 AS DOUBLE)) / 8.0 AS interp
           |FROM c GROUP BY o_orderkey""".stripMargin.replace("\n", " "),
+
+      // quadratic-field akima = cubic Hermite with slope 2i; at s = 0.25
+      // the basis values are exact: h00=0.84375 h01=0.15625 h10=0.140625
+      // h11=-0.046875 — H(i) = h00·i² + h01·(i+1)² + h10·2i + h11·(2i+2)
+      "q_akima_mid" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 34 + 3 AS INT) AS i0,
+          |  CAST(o_orderkey * 7 % 34 + 3 AS INT) AS j0 FROM orders)
+          |SELECT o_orderkey, round(CAST(
+          |  (0.84375 * i0 * i0 + 0.15625 * (i0 + 1) * (i0 + 1)
+          |   + 0.140625 * 2 * i0 - 0.046875 * (2 * i0 + 2))
+          |  + (0.84375 * j0 * j0 + 0.15625 * (j0 + 1) * (j0 + 1)
+          |   + 0.140625 * 2 * j0 - 0.046875 * (2 * j0 + 2))
+          | AS DOUBLE), 6) AS interp
+          |FROM p""".stripMargin.replace("\n", " "),
 
       "q_akima_nodes" ->
         """SELECT o_orderkey,
