@@ -975,7 +975,10 @@ object SparkEntry {
       val stream = s.readStream.schema(schema).parquet(tmp.toString)
       val agg = graft.streaming.StreamingBinning.windowedStats(stream, "ts",
         (col("user_id") % 8).cast("int"), col("value"))
-      val qname = "q_streaming_binning_sink"
+      // unique sink name: a second invocation in the same session must
+      // not collide with the first run's registered memory table
+      val qname = "q_streaming_binning_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       val q = agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete").start()
       q.processAllAvailable()
