@@ -157,8 +157,9 @@ object Dedup {
         require(allPairs, "ngramJaccardPairs without candidates is O(N²); " +
           "pass candidates (e.g. from minhashLsh/simhash) or set " +
           "allPairs = true for a small verification fixture")
-        // no counting scan: gate on Catalyst's size estimate (~1 KiB/doc
-        // floor keeps tiny-stats tables honest)
+        // no counting scan: gate on Catalyst's size estimate at a
+        // conservative 64 B/row — real documents are ~KBs, so this
+        // OVERestimates the row count and the gate rejects early
         val estRows = df.queryExecution.optimizedPlan.stats.sizeInBytes /
           BigInt(64)
         require(estRows <= BigInt(maxAllPairsRows),
