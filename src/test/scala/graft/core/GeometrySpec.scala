@@ -114,6 +114,34 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
       Polygon2D(rect(1, 1, 3, 3).toArray)) === "212FF1FF2")
   }
 
+  test("DE-9IM transpose symmetry: relate(a,b) = relate(b,a)^T") {
+    def transpose(m: String): String = {
+      // matrix rows A-I/B/E vs cols B-I/B/E: transpose swaps (r,c)->(c,r)
+      val t = Array.ofDim[Char](9)
+      for (r <- 0 until 3; c <- 0 until 3) t(c * 3 + r) = m(r * 3 + c)
+      new String(t)
+    }
+    val shapes = Seq(
+      rect(0, 0, 4, 4), rect(2, 2, 6, 6), rect(1, 1, 2, 2),
+      rect(4, 0, 8, 4), rect(4, 4, 8, 8), rect(5, 5, 6, 6),
+      rect(0, 0, 2, 4),
+      IndexedSeq((0.0, 0.0), (6.0, 0.0), (3.0, 6.0)),
+      IndexedSeq((0.0, 4.0), (6.0, 4.0), (3.0, -2.0)),
+      IndexedSeq((1.0, 1.0), (3.0, 1.0), (2.0, 3.0)))
+    for (a <- shapes; b <- shapes)
+      assert(relate(a, b) === transpose(relate(b, a)),
+        s"asym for $a vs $b: ${relate(a, b)} vs ${relate(b, a)}")
+    // hole-aware variant too
+    val annulus = Polygon2D(rect(0, 0, 10, 10).toArray,
+      Array(rect(4, 4, 6, 6).toArray))
+    for (b <- Seq(Polygon2D(rect(4, 4, 6, 6).toArray),
+        Polygon2D(rect(4.5, 4.5, 5.5, 5.5).toArray),
+        Polygon2D(rect(-1.0, -1.0, 2.0, 2.0).toArray))) {
+      assert(relatePolygons(annulus, b) ===
+        transpose(relatePolygons(b, annulus)))
+    }
+  }
+
   test("clip: rectangle intersection/union/difference areas") {
     val a = rect(0, 0, 4, 4)
     val b = rect(2, 2, 6, 6)
