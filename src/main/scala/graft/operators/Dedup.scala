@@ -28,6 +28,24 @@ object Dedup {
     }
   }
 
+  /** Hot-bucket guard as PARTIAL aggregation (r3 VERDICT item 2). The
+    * previous count-window form shuffled the full banded table with no
+    * map-side combine and landed every hot bucket's rows on one window
+    * task — the guard itself was the 100-TB straggler it existed to
+    * prevent. Here `groupBy(keys).count()` combines map-side down to one
+    * row per bucket, the `> max` filter keeps only the (few, bounded by
+    * total/max) hot bucket keys, and a broadcast LEFT ANTI join drops
+    * their rows without re-shuffling the banded table at all.
+    */
+  private[operators] def dropHotBuckets(df: DataFrame, keys: Seq[String],
+                                        maxBucketSize: Long): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucketSize)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Exact dedup: keep one representative per normalized fingerprint.
     * Returns (fingerprint, n_dups, keep_id) — smallest id wins, making the
     * choice deterministic under any partitioning.
@@ -96,22 +114,19 @@ object Dedup {
       .withColumn("_hb", shingleHashes(col("sh")))
       .select(col("id"), col("sh"),
         minhashSignatureFromHashes(col("_hb"), k).as("sig"))
-    val banded = withSig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
-      }: _*)).as(Seq("band", "bucket")))
-      // hot-bucket guard: a band bucket shared by >maxBucketSize docs is
-      // boilerplate/empty-doc mass whose self-join is quadratic; such
-      // docs still meet through their OTHER bands (and true near-dups of
-      // a hot doc share several bands), so dropping the hot bucket
-      // bounds the join without dropping the doc
-      .withColumn("_bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    // hot-bucket guard: a band bucket shared by >maxBucketSize docs is
+    // boilerplate/empty-doc mass whose self-join is quadratic; such
+    // docs still meet through their OTHER bands (and true near-dups of
+    // a hot doc share several bands), so dropping the hot bucket
+    // bounds the join without dropping the doc
+    val banded = dropHotBuckets(
+      withSig.select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",",
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+        }: _*)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -201,20 +216,17 @@ object Dedup {
                    maxHamming: Int = 3,
                    maxBucketSize: Long = 100000L): DataFrame = {
     val sh = simhash(df, idCol, textCol)
-    val chunked = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
-        .as(Seq("chunk", "ckey")))
-      // chunk-value skew guard (e.g. the 0x0000 chunk of short docs):
-      // pairs in an over-full chunk still meet via their other 3 chunks
-      // whenever hamming <= 3, so the pigeonhole completeness is kept
-      // unless a pair's differing bits concentrate OUTSIDE every
-      // non-hot shared chunk — log-scale corpora accept that bound
-      .withColumn("_bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy("chunk", "ckey")))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    // chunk-value skew guard (e.g. the 0x0000 chunk of short docs):
+    // pairs in an over-full chunk still meet via their other 3 chunks
+    // whenever hamming <= 3, so the pigeonhole completeness is kept
+    // unless a pair's differing bits concentrate OUTSIDE every
+    // non-hot shared chunk — log-scale corpora accept that bound
+    val chunked = dropHotBuckets(
+      sh.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF)): _*))
+          .as(Seq("chunk", "ckey"))),
+      Seq("chunk", "ckey"), maxBucketSize)
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"),
       col("simhash").as("h_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"),

@@ -163,8 +163,12 @@ object KnnJoin {
     */
   private def collectCapped[T](ds: Dataset[T], cap: Long): Option[Array[T]] = {
     val lim = math.min(cap, Int.MaxValue.toLong - 2L).toInt
-    val a = ds.limit(lim + 1).collect()
-    if (a.length > lim) None else Some(a)
+    // cheap overflow probe first (r3 ADVICE): counting limit(cap+1) keeps
+    // the up-to-cap+1 overflow rows on an executor, not as a transient
+    // ~GB of driver heap that is allocated only to be discarded. Only a
+    // confirmed under-cap build side is collected for real.
+    val n = ds.limit(lim + 1).count()
+    if (n > lim) None else Some(ds.limit(lim + 1).collect())
   }
 
   def neighbors(spark: SparkSession, build: DataFrame, probe: DataFrame,

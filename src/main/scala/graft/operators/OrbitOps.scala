@@ -13,9 +13,19 @@ import graft.core.OrbitEphemeris.OrbitModel
   */
 object OrbitOps {
 
+  /** Upper bound on ephemeris rows accepted by [[orbitFromEphemeris]]:
+    * a repeat cycle sampled at 1 Hz is under 2.1 M points (SWOT: 21 days);
+    * anything larger is not one satellite cycle and would OOM the driver
+    * before the mistake is comprehensible.
+    */
+  val MaxEphemerisRows: Int = 4000000
+
   /** Build the orbit model from an ephemeris DataFrame of
     * (time_s, lon, lat) rows — collected: an ephemeris is one satellite
-    * cycle, bounded by physics, not data volume.
+    * cycle, bounded by physics, not data volume. The collect is CAPPED
+    * (limit cap+1, same pattern as KnnJoin.collectCapped): a malformed
+    * billion-row "ephemeris" fails fast with a clear message instead of
+    * an opaque driver OOM.
     */
   def orbitFromEphemeris(spark: SparkSession, ephemeris: DataFrame,
                          height: Double,
@@ -23,7 +33,12 @@ object OrbitOps {
     import spark.implicits._
     val rows = ephemeris.select(col("time_s").cast("double"),
         col("lon").cast("double"), col("lat").cast("double"))
-      .as[(Double, Double, Double)].collect().sortBy(_._1)
+      .as[(Double, Double, Double)].limit(MaxEphemerisRows + 1).collect()
+      .sortBy(_._1)
+    require(rows.length <= MaxEphemerisRows,
+      s"ephemeris has more than $MaxEphemerisRows rows — an orbit model " +
+        "is ONE satellite repeat cycle (10^4-10^6 nadir points); this " +
+        "table is not an ephemeris. Aggregate or filter it first.")
     OrbitEphemeris.calculateOrbit(height, rows.map(_._2), rows.map(_._3),
       rows.map(_._1),
       alongTrackResolutionKm = alongTrackResolutionKm)

@@ -162,18 +162,16 @@ object Similarity {
                          seed: Long = 42L,
                          maxBucketSize: Long = 100000L): DataFrame = {
     val dims = dimsOf(items)
-    val banded = items.select(col("id"), col("embedding"),
-      posexplode(array((0 until bands).map(b =>
-        lshBucket(col("embedding"), planesPerBand, dims,
-          seed + b * 104729L)): _*)).as(Seq("band", "bucket")))
-      // hot-bucket guard (same rationale as Dedup.minhashLsh): bound the
-      // quadratic self-join; near-identical vectors share EVERY band, so
-      // they still meet unless all their buckets are hot
-      .withColumn("_bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    // hot-bucket guard (same rationale and partial-agg shape as
+    // Dedup.minhashLsh): bound the quadratic self-join; near-identical
+    // vectors share EVERY band, so they still meet unless all their
+    // buckets are hot
+    val banded = Dedup.dropHotBuckets(
+      items.select(col("id"), col("embedding"),
+        posexplode(array((0 until bands).map(b =>
+          lshBucket(col("embedding"), planesPerBand, dims,
+            seed + b * 104729L)): _*)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))

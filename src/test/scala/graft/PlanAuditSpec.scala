@@ -79,6 +79,26 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("LessThan(doc_id,200)"), p.take(3000))
   }
 
+  test("hot-bucket guards are partial aggregation, not a count-window") {
+    // r3 VERDICT item 2: the guard must plan as HashAggregate (map-side
+    // combine -> few hot-bucket rows -> broadcast anti-join), never as a
+    // Window over the full banded table (single-task hot-bucket shuffle)
+    val simhashPlan = graft.operators.Dedup.simhashPairs(
+      spark.read.parquet(dir + "/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 200),
+      "doc_id", "text").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val plans = Seq("q_minhash_lsh", "q_embedding_neardup")
+      .map(q => q -> plan(q)) :+ ("simhashPairs" -> simhashPlan)
+    for ((q, p) <- plans) {
+      assert(!p.contains("Window"), s"$q guard still a window:\n" +
+        p.take(3000))
+      assert(p.contains("HashAggregate"), s"$q:\n" + p.take(2000))
+      assert(p.contains("LeftAnti"), s"$q missing anti-join:\n" +
+        p.take(2000))
+    }
+  }
+
   test("period ops are window + single-shuffle aggregates, no cartesian") {
     for (q <- Seq("q_period_intersect", "q_period_cross",
         "q_period_duration")) {
