@@ -709,6 +709,26 @@ object SparkEntry {
       GridInterpolator.bivariate(s, probe, "x", "y", g, "akima")
         .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
     }),
+    "q_bicubic_biggrid" -> ((s, dir) => {
+      // WINDOWED grid-as-table path (r3 VERDICT item 1): the same 41x41
+      // lattice as q_bilinear_biggrid, interpolated bicubic through the
+      // 36-corner stencil join — no driver collect, no broadcast of the
+      // lattice. Probes at the q_bicubic_mid half-cell offsets, so the
+      // constant 6x6 stencil oracle value-checks the distributed window
+      // assembly + kernel evaluation exactly
+      val gridTable = s.range(41L * 41L).select(
+        floor(col("id") / 41).cast("double").as("lon"),
+        (col("id") % 41).cast("double").as("lat"),
+        ((floor(col("id") / 41) * 31 + (col("id") % 41) * 17) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").plus(0.5).as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"))
+      GridInterpolator.bivariateTableWindowed(s, probe, "x", "y", gridTable,
+          "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
     "q_bicubic_grid" -> ((s, dir) => {
       // bicubic values have no SQL closed form -> rows-only check
       val orders = s.read.parquet(t(dir, "orders"))
@@ -1664,6 +1684,11 @@ object SparkEntry {
 
       // interpolants pass through grid nodes: value = grid formula
       "q_bicubic_mid" -> SparkEntry.midStencilSql(SparkEntry.bicubicMidStencil),
+
+      // same constant-stencil closed form: the grid-as-table windowed
+      // path must reproduce the broadcast kernel bit-for-bit
+      "q_bicubic_biggrid" ->
+        SparkEntry.midStencilSql(SparkEntry.bicubicMidStencil),
 
       "q_bicubic_nodes" ->
         """SELECT o_orderkey,

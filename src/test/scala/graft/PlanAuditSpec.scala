@@ -126,6 +126,20 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("grid-as-table windowed bicubic: distributed stencil join, no " +
+      "grid collect") {
+    val df = SparkEntry.queries("q_bicubic_biggrid")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // stencil corner join + final reassembly join; the lattice stays a
+    // Range-derived distributed relation, never a collected local one
+    assert(p.split("Join").length >= 3, p.take(3000))
+    assert(!p.contains("LocalTableScan"), "lattice was collected:\n" +
+      p.take(3000))
+    assert(p.contains("Generate"), "stencil explode missing:\n" +
+      p.take(3000))
+  }
+
   test("big-probe ANN carries no user broadcast hint (shuffle-join shape)") {
     // broadcastQueryBytes = 0 must produce a plan whose joins were chosen
     // by Catalyst, not forced by broadcast(): no ResolvedHint survives

@@ -133,6 +133,56 @@ class IngestionSpec extends AnyFunSuite {
     assert(viaTable.values.exists(v => !v.isNaN))
   }
 
+  test("bivariateTableWindowed ≡ broadcast for bicubic and akima") {
+    // the table path evaluates the SAME core kernels on the SAME window,
+    // so agreement is exact (bit-for-bit), including every NaN face:
+    // out-of-range, unframeable near-edge windows, masked stencil cells
+    val n = 21
+    val gridTable = spark.range(n.toLong * n).select(
+      floor(col("id") / n).cast("double").as("lon"),
+      (col("id") % n).cast("double").as("lat"),
+      ((floor(col("id") / n) * 13 + (col("id") % n) * 7) % 31)
+        .cast("double").as("sst"))
+      // mask one interior cell: 6x6 windows touching it must NaN on BOTH
+      .filter(!(col("lon") === 9.0 && col("lat") === 9.0))
+    val probes = ((0 until 300).map { k =>
+      val x = (k * 37 % 230) / 10.0 - 1.0 // -1.0 .. 21.9
+      val y = (k * 53 % 230) / 10.0 - 1.0
+      (k.toLong, x, y)
+    } ++ Seq(
+      (1000L, 15.0, 15.0),  // exact interior node (window clear of mask)
+      (1001L, 20.0, 20.0),  // exact grid max (undef: NaN on both paths)
+      (1002L, 0.0, 0.0),    // exact grid min (unframeable: NaN)
+      (1003L, 2.5, 17.5)    // frame boundary cells
+    )).toDF("qid", "x", "y")
+    val g = GridLoader.grid2d(gridTable)
+    for (method <- Seq("bicubic", "akima")) {
+      val viaTable = GridInterpolator
+        .bivariateTableWindowed(spark, probes, "x", "y", gridTable, method)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaBroadcast = GridInterpolator
+        .bivariate(spark, probes, "x", "y", g, method)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaTable.keySet === viaBroadcast.keySet)
+      var nans = 0
+      viaTable.foreach { case (qid, v) =>
+        val b = viaBroadcast(qid)
+        if (v.isNaN || b.isNaN) {
+          assert(v.isNaN === b.isNaN, s"$method qid $qid: $v vs $b")
+          nans += 1
+        } else assert(v === b, s"$method qid $qid: $v vs $b")
+      }
+      assert(nans > 0, s"$method fixture must exercise NaN rows")
+      assert(!viaTable(1000L).isNaN, s"$method interior node must " +
+        "interpolate")
+      assert(viaTable(1001L).isNaN && viaTable(1002L).isNaN,
+        s"$method undef boundary: windows past the edge must NaN")
+      assert(viaTable.values.exists(v => !v.isNaN))
+    }
+  }
+
   test("state serialization round-trips (KdTree, Grid2D, TemporalAxis)") {
     def rt[T <: Serializable](v: T): T = {
       val bos = new java.io.ByteArrayOutputStream()
