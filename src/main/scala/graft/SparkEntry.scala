@@ -302,6 +302,28 @@ object SparkEntry {
       |  ay0 + dy + 4.0 AS by1 FROM base)
       |""".stripMargin.replace("\n", " ")
 
+  /** DuckDB mirror of GeoText.asWktPolygonRing over the `r` rect CTE:
+    * closed CCW ring, Spark's double->string rendering matches DuckDB's
+    * CAST(x AS VARCHAR) on these small integer-valued doubles.
+    */
+  def wktRectSql: String = {
+    def pt(x: String, y: String) =
+      s"CAST($x AS VARCHAR) || ' ' || CAST($y AS VARCHAR)"
+    s"'POLYGON ((' || ${pt("ax0", "ay0")} || ', ' || ${pt("ax1", "ay0")} " +
+      s"|| ', ' || ${pt("ax1", "ay1")} || ', ' || ${pt("ax0", "ay1")} " +
+      s"|| ', ' || ${pt("ax0", "ay0")} || '))'"
+  }
+
+  /** DuckDB mirror of GeoText.asGeoJsonPolygon over the rect CTE. */
+  def geoJsonRectSql: String = {
+    def pt(x: String, y: String) =
+      s"'[' || CAST($x AS VARCHAR) || ',' || CAST($y AS VARCHAR) || ']'"
+    "'{\"type\":\"Polygon\",\"coordinates\":[[' || " +
+      s"${pt("ax0", "ay0")} || ',' || ${pt("ax1", "ay0")} || ',' || " +
+      s"${pt("ax1", "ay1")} || ',' || ${pt("ax0", "ay1")} || ',' || " +
+      s"${pt("ax0", "ay0")} || ']]}'"
+  }
+
   /** Synthetic inclined-circular-orbit model built from the supplier
     * table: time = 60 s per key over one ~6000 s revolution.
     */
@@ -317,6 +339,27 @@ object SparkEntry {
       (degrees(atan2(cos(lit(math.toRadians(66.0))) * sin(u), cos(u))) -
         (col("s_suppkey").cast("double") * dt) * (360.0 / 86400.0))
         .as("lon"),
+      degrees(asin(sin(lit(math.toRadians(66.0))) * sin(u))).as("lat"))
+    OrbitOps.orbitFromEphemeris(s, ephem, height = 500000.0,
+      alongTrackResolutionKm = 100.0)
+  }
+
+  /** Fixed-resolution analytic orbit (SF-INDEPENDENT, unlike
+    * [[syntheticOrbit]]): a 600-point ephemeris over 1.1 revolutions of
+    * the i = 66°, T = 6000 s circular orbit under uniform Earth
+    * rotation. With the resolution pinned, the pass set {2, 3, 4} and
+    * its equator crossings are deterministic closed forms — the per-row
+    * value-oracle face of the orbit catalog (r3 VERDICT item 3).
+    */
+  def syntheticOrbitFixed(s: SparkSession)
+      : graft.core.OrbitEphemeris.OrbitModel = {
+    val n = 600
+    val dt = 6600.0 / n
+    val u = col("id").cast("double") * (2.0 * math.Pi * dt / 6000.0)
+    val ephem = s.range(n).select(
+      (col("id").cast("double") * dt).as("time_s"),
+      (degrees(atan2(cos(lit(math.toRadians(66.0))) * sin(u), cos(u))) -
+        (col("id").cast("double") * dt) * (360.0 / 86400.0)).as("lon"),
       degrees(asin(sin(lit(math.toRadians(66.0))) * sin(u))).as("lat"))
     OrbitOps.orbitFromEphemeris(s, ephem, height = 500000.0,
       alongTrackResolutionKm = 100.0)
@@ -884,6 +927,43 @@ object SparkEntry {
         .select(col("id"), round(col("inter_area"), 6).as("inter_area"),
           round(col("union_area"), 6).as("union_area"),
           round(col("diff_area"), 6).as("diff_area"))
+    }),
+    "q_wkt_roundtrip" -> ((s, dir) => {
+      // WKT + GeoJSON text IO (reference wkt_geographic.cpp /
+      // geojson_geographic.cpp): emit closed POLYGON text of ring_a,
+      // parse it back, flag the round-trip against the stored unclosed
+      // ring; DuckDB rebuilds both strings independently from the rect
+      // corner coordinates
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val r = SparkEntry.rectPairs(supp)
+      val G = graft.functions.GeoText
+      val wkt = G.asWktPolygonRing(col("ring_a"))
+      val gj = G.asGeoJsonPolygon(array(col("ring_a")))
+      r.select(col("id"), wkt.as("wkt"), gj.as("geojson"),
+        (G.dropClosing(element_at(G.fromWktPolygon(wkt), 1)) ===
+          col("ring_a")).cast("int").as("wkt_rt"),
+        (G.dropClosing(element_at(G.fromGeoJsonPolygon(gj), 1)) ===
+          col("ring_a")).cast("int").as("gj_rt"),
+        size(element_at(G.fromWktPolygon(wkt), 1)).as("n_parsed"))
+    }),
+    "q_geom_unary" -> ((s, dir) => {
+      // unary surface (is_valid/is_simple/is_empty, counts, area,
+      // correct, reverse) over rects plus planted bowties (id%3==0:
+      // vertices 3 and 4 swapped -> self-crossing, zero-area ring)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val r = SparkEntry.rectPairs(supp)
+      def e(i: Int) = element_at(col("ring_a"), i)
+      val ringCol = when(col("id") % 3 === 0,
+        array(e(1), e(2), e(3), e(4), e(7), e(8), e(5), e(6)))
+        .otherwise(col("ring_a"))
+      GeometryOps.unaryProperties(s,
+          r.select(col("id"), ringCol.as("ring")), "id", "ring")
+        .select(col("id"), col("is_valid").cast("int").as("valid"),
+          col("is_simple").cast("int").as("simple"),
+          col("is_empty").cast("int").as("empty"),
+          col("n_points"), col("n_segments"), col("area"),
+          col("corrected_signed_area").as("csa"),
+          col("rev_head_x"), col("rev_head_y"))
     }),
     "q_point_distance" -> ((s, dir) => {
       // for_each_point_distance analog: distance of scattered points to a
@@ -1891,6 +1971,23 @@ object SparkEntry {
           | CAST((9 + user_id % 5) * (9 + user_id % 5) AS DOUBLE)
           |   AS hull_area
           |FROM events""".stripMargin.replace("\n", " "),
+
+      "q_wkt_roundtrip" -> (SparkEntry.rectPairsSqlPrefix +
+        s"""SELECT id, ${SparkEntry.wktRectSql} AS wkt,
+           | ${SparkEntry.geoJsonRectSql} AS geojson,
+           | 1 AS wkt_rt, 1 AS gj_rt, 10 AS n_parsed
+           |FROM r""".stripMargin.replace("\n", " ")),
+
+      "q_geom_unary" -> (SparkEntry.rectPairsSqlPrefix +
+        """SELECT id,
+          | CASE WHEN id % 3 = 0 THEN 0 ELSE 1 END AS valid,
+          | CASE WHEN id % 3 = 0 THEN 0 ELSE 1 END AS simple,
+          | 0 AS empty, 4 AS n_points, 4 AS n_segments,
+          | CASE WHEN id % 3 = 0 THEN 0.0 ELSE 16.0 END AS area,
+          | CASE WHEN id % 3 = 0 THEN 0.0 ELSE 16.0 END AS csa,
+          | CASE WHEN id % 3 = 0 THEN ax1 ELSE ax0 END AS rev_head_x,
+          | ay1 AS rev_head_y
+          |FROM r""".stripMargin.replace("\n", " ")),
 
       "q_geom_predicates" -> (SparkEntry.rectPairsSqlPrefix +
         """SELECT id,

@@ -429,6 +429,80 @@ object GeometryAlgorithms {
     false
   }
 
+  // ---------- unary surface (is_valid family) ----------
+
+  /** Boost `is_simple` semantics for one ring stored unclosed
+    * (`cxx/src/pybind/geometry/geographic/algorithm/
+    * is_simple_geographic.cpp` binding family): no repeated consecutive
+    * vertices, no contact between non-adjacent edges, no collinear
+    * overlap (spike) between adjacent edges.
+    */
+  def isSimpleRing(r: IndexedSeq[Pt]): Boolean = {
+    val n = r.length
+    if (n < 3) return false
+    var i = 0
+    while (i < n) {
+      if (r(i) == r((i + 1) % n)) return false
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val a1 = r(i); val a2 = r((i + 1) % n)
+      var j = i + 1
+      while (j < n) {
+        val b1 = r(j); val b2 = r((j + 1) % n)
+        val adjacent = j == i + 1 || (i == 0 && j == n - 1)
+        if (adjacent) {
+          // shared endpoint is fine; a spike (collinear overlap of
+          // positive length) is not
+          if (Polygon2D.orient(a1, a2, b1) == 0 &&
+              Polygon2D.orient(a1, a2, b2) == 0) {
+            val horiz = math.abs(a2._1 - a1._1) >= math.abs(a2._2 - a1._2)
+            def c(p: Pt) = if (horiz) p._1 else p._2
+            val lo = math.max(math.min(c(a1), c(a2)), math.min(c(b1), c(b2)))
+            val hi = math.min(math.max(c(a1), c(a2)), math.max(c(b1), c(b2)))
+            if (hi > lo) return false
+          }
+        } else if (Polygon2D.segmentsIntersect(a1, a2, b1, b2)) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Ring validity in the spirit of boost `is_valid`
+    * (`is_valid_geographic.cpp`) on the engine's unclosed,
+    * orientation-agnostic rings: >= 3 vertices, simple, positive area.
+    * (Orientation is NOT required — every predicate/clip in this engine
+    * is orientation-agnostic; [[correctRing]] normalizes it.)
+    */
+  def isValidRing(r: IndexedSeq[Pt]): Boolean =
+    r.length >= 3 && isSimpleRing(r) && math.abs(signedArea(r)) > 0.0
+
+  /** Hole-aware polygon validity: valid exterior and holes, every hole
+    * inside the exterior, hole interiors pairwise disjoint.
+    */
+  def isValidPolygon(p: Polygon2D): Boolean = {
+    val ext = p.exterior.toIndexedSeq
+    if (!isValidRing(ext)) return false
+    val holes = p.holes.map(_.toIndexedSeq)
+    holes.forall(h => isValidRing(h) && containsPoly(ext, h)) &&
+      holes.indices.forall(i => (i + 1 until holes.length).forall(j =>
+        !interiorsIntersect(holes(i), holes(j))))
+  }
+
+  /** Orientation normalization (boost `correct` analog, with the
+    * engine's CCW-exterior convention instead of boost's CW default —
+    * documented deviation; everything downstream is orientation-
+    * agnostic): returns the ring with signed area >= 0 when
+    * `ccw = true`, <= 0 otherwise.
+    */
+  def correctRing(r: IndexedSeq[Pt], ccw: Boolean = true): IndexedSeq[Pt] = {
+    val sa = signedArea(r)
+    if ((ccw && sa < 0.0) || (!ccw && sa > 0.0)) r.reverse else r
+  }
+
   /** DE-9IM matrix string (row order A-Interior/Boundary/Exterior against
     * B's I/B/E — "212101212"-style), completing the reference's boost
     * predicate family (`cxx/src/pybind/geometry/geographic/algorithm/`

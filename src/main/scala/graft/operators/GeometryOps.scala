@@ -74,6 +74,36 @@ object GeometryOps {
       .toDF(idCol, "inter_area", "union_area", "diff_area")
   }
 
+  /** Unary geometry surface per row — the reference's unary algorithm
+    * bindings (`cxx/src/pybind/geometry/geographic/algorithm/
+    * is_valid_geographic.cpp`, `is_simple_geographic.cpp`, plus the
+    * num_points / reverse / correct family): is_valid / is_simple /
+    * is_empty flags, vertex and segment counts (unclosed storage: n
+    * vertices span n implicit-closure segments), absolute area, the
+    * signed area AFTER `correct` (always >= 0 — the CCW normalization's
+    * observable), and the reversed ring's head vertex (reverse probe).
+    * A narrow codegen->map stage; no shuffle.
+    */
+  def unaryProperties(spark: SparkSession, df: DataFrame, idCol: String,
+                      ringCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(ringCol))
+      .as[(Long, Seq[Double])]
+      .map { case (id, r0) =>
+        val r = ring(r0)
+        val rev = r.reverse
+        val corrected = GA.correctRing(r)
+        (id, GA.isValidRing(r), GA.isSimpleRing(r), r.isEmpty, r.length,
+          if (r.length < 2) 0 else r.length, math.abs(GA.signedArea(r)),
+          GA.signedArea(corrected),
+          rev.headOption.map(_._1).getOrElse(Double.NaN),
+          rev.headOption.map(_._2).getOrElse(Double.NaN))
+      }
+      .toDF(idCol, "is_valid", "is_simple", "is_empty", "n_points",
+        "n_segments", "area", "corrected_signed_area", "rev_head_x",
+        "rev_head_y")
+  }
+
   /** Vectorized point→polygon distance — the reference's
     * `for_each_point_distance` face
     * (`cxx/include/pyinterp/geometry/for_each_point_distance.hpp`): 0 for

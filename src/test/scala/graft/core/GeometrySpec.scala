@@ -212,4 +212,44 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
     val d = length(IndexedSeq((0.0, 0.0), (1.0, 0.0)), geodetic = true)
     assert(math.abs(d - 111319.49) < 1.0, d)
   }
+
+  test("unary surface: is_simple / is_valid / correct on rings") {
+    val r = rect(0, 0, 4, 4)
+    assert(isSimpleRing(r) && isValidRing(r))
+    // bowtie: crossing diagonals
+    val bow = IndexedSeq((0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (4.0, 4.0))
+    assert(!isSimpleRing(bow) && !isValidRing(bow))
+    // repeated consecutive vertex
+    assert(!isSimpleRing(IndexedSeq((0.0, 0.0), (0.0, 0.0), (4.0, 0.0),
+      (4.0, 4.0))))
+    // collinear spike on adjacent edges
+    assert(!isSimpleRing(IndexedSeq((0.0, 0.0), (4.0, 0.0), (2.0, 0.0),
+      (2.0, 4.0))))
+    // degenerate: all collinear -> zero area, invalid
+    val line = IndexedSeq((0.0, 0.0), (2.0, 0.0), (4.0, 0.0))
+    assert(!isValidRing(line))
+    assert(!isValidRing(IndexedSeq((0.0, 0.0), (1.0, 1.0))))
+    // correct: CW ring flips to CCW; CCW stays
+    val cw = r.reverse
+    assert(signedArea(cw) < 0 && signedArea(correctRing(cw)) > 0)
+    assert(correctRing(r) eq r)
+    assert(signedArea(correctRing(r, ccw = false)) < 0)
+  }
+
+  test("unary surface: hole-aware polygon validity") {
+    def arr(r: IndexedSeq[(Double, Double)]) = r.toArray
+    val ext = rect(0, 0, 10, 10)
+    val hole1 = rect(1, 1, 3, 3)
+    val hole2 = rect(5, 5, 7, 7)
+    assert(isValidPolygon(Polygon2D(arr(ext), Array(arr(hole1), arr(hole2)))))
+    // hole escaping the exterior
+    val out = rect(8, 8, 12, 12)
+    assert(!isValidPolygon(Polygon2D(arr(ext), Array(arr(out)))))
+    // overlapping holes
+    val h3 = rect(2, 2, 6, 6)
+    assert(!isValidPolygon(Polygon2D(arr(ext), Array(arr(hole1), arr(h3)))))
+    // invalid exterior
+    val bow = IndexedSeq((0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (4.0, 4.0))
+    assert(!isValidPolygon(Polygon2D(arr(bow))))
+  }
 }
