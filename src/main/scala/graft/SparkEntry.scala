@@ -468,13 +468,21 @@ object SparkEntry {
     }),
     "q_histogram2d" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))
-      // per-bin digest; exact fields (count/min/max) oracle-checked
+      // per-bin digest; exact fields (count/min/max) oracle-checked, and
+      // the per-bin sketch MEDIAN tolerance-checked against Spark's exact
+      // order statistic (r3 VERDICT item 7, q_tdigest_quantiles technique
+      // applied per bin): q50_ok is TRUE iff the digest median sits
+      // within 1% of that bin's value range of exact percentile(0.5) —
+      // single-valued bins degrade to an exact-equality check
       li.groupBy((col("l_partkey") % 8).cast("int").as("ix"),
           (col("l_suppkey") % 8).cast("int").as("iy"))
         .agg(aggregators.tdigest_agg(col("l_extendedprice"),
-          Seq(0.5)).as("d"))
+            Seq(0.5)).as("d"),
+          expr("percentile(l_extendedprice, 0.5D)").as("ex"))
         .select(col("ix"), col("iy"), col("d.count").as("cnt"),
-          col("d.min").as("min_v"), col("d.max").as("max_v"))
+          col("d.min").as("min_v"), col("d.max").as("max_v"),
+          (abs(col("d.quantiles")(0) - col("ex")) <=
+            (col("d.max") - col("d.min")) * 0.01).as("q50_ok"))
     }),
     "q_tdigest_quantiles" -> ((s, dir) => {
       // TOLERANCE oracle through an exact-hash compare: Spark checks its
@@ -1274,12 +1282,23 @@ object SparkEntry {
 
     "q_orbit_passes" -> ((s, dir) => {
       // full orbit module: ephemeris -> calculate_orbit -> pass catalog
-      // with equator crossings (engine-specific spline -> rows-only)
-      val orbit = SparkEntry.syntheticOrbit(s, dir)
+      // with equator crossings, on the SF-INDEPENDENT fixed-resolution
+      // analytic orbit (r3 VERDICT item 3): every crossing has a closed
+      // form (t = 3000k s, lon = (k odd ? 180 : 0) - t*360/86400), so the
+      // engine's bracketing + Thomas-distance interpolation result is
+      // per-row value-checked against DuckDB computing those forms
+      // independently. The engine residual is ~1e-5 deg / ~1e-5 s, three
+      // orders of magnitude inside the round(3)/round(1) grid. Pass 2
+      // (the post-skew ascending fragment) never reaches the equator ->
+      // crossing columns are NULL, which the oracle must reproduce.
+      val orbit = SparkEntry.syntheticOrbitFixed(s)
       OrbitOps.passCatalog(s, orbit)
-        .select(col("pass_number"), col("n_points"),
-          round(col("equator_lon"), 3).as("eq_lon"),
-          round(col("equator_time"), 1).as("eq_time"))
+        .select(col("pass_number"),
+          when(isnan(col("equator_lon")), lit(null).cast("double"))
+            .otherwise(round(col("equator_lon"), 3)).as("eq_lon"),
+          when(isnan(col("equator_time")), lit(null).cast("double"))
+            .otherwise(round(col("equator_time"), 1)).as("eq_time"),
+          (!isnan(col("equator_lon"))).as("has_crossing"))
     }),
     "q_orbit_analytic" -> ((s, dir) => {
       // closed-form orbit-catalog oracle (VERDICT r2 item 4): the
@@ -1326,16 +1345,22 @@ object SparkEntry {
       catFlags.crossJoin(swFlags).crossJoin(fanFlag)
     }),
     "q_orbit_swath" -> ((s, dir) => {
-      // calculate_swath fan-out: one row per (pass, line, pixel);
-      // aggregated shape + bounds per pass (rows-only)
-      val orbit = SparkEntry.syntheticOrbit(s, dir)
+      // calculate_swath fan-out on the fixed analytic orbit (r3 VERDICT
+      // item 3): per-(pass, pixel) value face. The across-track grid is
+      // CONSTRUCTED, not interpolated — pixel j (west->east, halfGap 10 km,
+      // res 10 km, halfSwath 60 km) sits at exactly
+      // x_ac = (j - 6 + (j >= 6 ? 1 : 0)) * 10000 m, constant down every
+      // line of the pass (xac_const_ok pins that), and no rotated pixel
+      // may exceed the inclination + half-swath latitude bound (66 deg +
+      // 60 km arc ~ 0.54 deg < 67). DuckDB rebuilds the
+      // {2,3,4} x {0..11} grid and the exact x_ac values independently.
+      val orbit = SparkEntry.syntheticOrbitFixed(s)
       OrbitOps.swathPoints(s, orbit, acrossTrackResolutionKm = 10.0,
           halfSwathKm = 60.0, halfGapKm = 10.0)
-        .groupBy(col("pass_number"))
-        .agg(count(lit(1)).as("n_pixels"),
-          round(min(col("lat")), 2).as("min_lat"),
-          round(max(col("lat")), 2).as("max_lat"),
-          round(max(abs(col("x_ac"))), 1).as("max_xac"))
+        .groupBy(col("pass_number"), col("pixel"))
+        .agg(min(col("x_ac")).as("x_ac"),
+          (min(col("x_ac")) === max(col("x_ac"))).as("xac_const_ok"),
+          (max(abs(col("lat"))) <= 67.0).as("lat_bound_ok"))
     }),
 
     "q_knn4d" -> ((s, dir) => {
@@ -2122,7 +2147,8 @@ object SparkEntry {
       "q_histogram2d" ->
         """SELECT CAST(l_partkey % 8 AS INT) AS ix,
           | CAST(l_suppkey % 8 AS INT) AS iy, COUNT(*) AS cnt,
-          | MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v
+          | MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v,
+          | TRUE AS q50_ok
           |FROM lineitem GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
       // PNG decode oracle: pixels re-derived end-to-end in DuckDB
@@ -2166,6 +2192,34 @@ object SparkEntry {
         ("SELECT TRUE AS lons_ok, TRUE AS times_ok, TRUE AS has_pass, " +
           "TRUE AS xac_grid_ok, TRUE AS swath_lat_ok, " +
           "TRUE AS swath_fanout_ok"),
+
+      // per-row pass-catalog value oracle (fixed analytic orbit): the
+      // k-th equator crossing is at t = 3000k s with longitude
+      // (k odd ? 180 : 0) - t*360/86400, computed HERE in SQL — not
+      // copied from the engine. Crossing k lands in pass k+2 because
+      // calculate_orbit drops the equator-start fragment (skip first
+      // pass boundary) and the short pass 1 remnant, leaving pass 2 as
+      // the ascending no-crossing arc (NULL row).
+      "q_orbit_passes" ->
+        """SELECT CAST(k + 2 AS INT) AS pass_number,
+          | round((CASE WHEN k % 2 = 1 THEN 180.0 ELSE 0.0 END)
+          |   - 3000.0 * k * 360.0 / 86400.0, 3) AS eq_lon,
+          | round(3000.0 * k, 1) AS eq_time, TRUE AS has_crossing
+          |FROM range(1, 3) t(k)
+          |UNION ALL SELECT CAST(2 AS INT), CAST(NULL AS DOUBLE),
+          | CAST(NULL AS DOUBLE), FALSE""".stripMargin.replace("\n", " "),
+
+      // per-(pass, pixel) swath value oracle: the across-track grid is
+      // constructed geometry — pixel j of a halfGap 10 km / res 10 km /
+      // halfSwath 60 km swath sits at (j - 6 + (j >= 6)) * 10 km exactly,
+      // for every line of passes {2, 3, 4}
+      "q_orbit_swath" ->
+        """SELECT CAST(p AS INT) AS pass_number, CAST(j AS INT) AS pixel,
+          | CAST((j - 6 + CASE WHEN j >= 6 THEN 1 ELSE 0 END) * 10000
+          |   AS DOUBLE) AS x_ac,
+          | TRUE AS xac_const_ok, TRUE AS lat_bound_ok
+          |FROM range(2, 5) tp(p), range(0, 12) tj(j)"""
+          .stripMargin.replace("\n", " "),
 
       // tolerance oracle: the Spark side emits "sketch within 1%-of-range
       // of Spark's exact percentile" booleans; hashes match iff all TRUE

@@ -402,6 +402,77 @@ object GeometryAlgorithms {
     false
   }
 
+  /** Exact transversal-crossing test at a boundary point that is a
+    * VERTEX of ring `a` (r3 ADVICE): [[properCross]] only sees crossings
+    * in the open interior of both edges, so two boundaries crossing
+    * exactly at a shared vertex (or at a vertex of one ring lying inside
+    * an edge of the other) were previously invisible to the exact tests.
+    * At such a point v the boundaries cross iff the four incident edge
+    * directions alternate a,b,a,b in angular order around v — no epsilon
+    * sampling. Locally-collinear incident directions are NOT crossings
+    * here (they are dim-1 contact, reported by [[collinearOverlap]]).
+    * Call with both argument orders to also cover vertices of `b` inside
+    * edges of `a`.
+    */
+  private[core] def vertexTransversal(a: IndexedSeq[Pt],
+                                      b: IndexedSeq[Pt]): Boolean = {
+    val na = a.length; val nb = b.length
+    def dir(from: Pt, to: Pt): Option[Pt] = {
+      val dx = to._1 - from._1; val dy = to._2 - from._2
+      if (dx == 0.0 && dy == 0.0) None else Some((dx, dy))
+    }
+    // directions of b's boundary at v, when v lies on it
+    def bDirsAt(v: Pt): Option[(Pt, Pt)] = {
+      var j = 0
+      while (j < nb) {
+        if (b(j) == v)
+          return for {
+            d1 <- dir(v, b((j + nb - 1) % nb))
+            d2 <- dir(v, b((j + 1) % nb))
+          } yield (d1, d2)
+        j += 1
+      }
+      j = 0
+      while (j < nb) {
+        val b1 = b(j); val b2 = b((j + 1) % nb)
+        if (b1 != v && b2 != v && Polygon2D.orient(b1, b2, v) == 0 &&
+            v._1 >= math.min(b1._1, b2._1) && v._1 <= math.max(b1._1, b2._1) &&
+            v._2 >= math.min(b1._2, b2._2) && v._2 <= math.max(b1._2, b2._2))
+          return for { d1 <- dir(v, b1); d2 <- dir(v, b2) } yield (d1, d2)
+        j += 1
+      }
+      None
+    }
+    def sameDir(p: Pt, q: Pt): Boolean =
+      p._1 * q._2 - p._2 * q._1 == 0.0 && p._1 * q._1 + p._2 * q._2 > 0.0
+    var i = 0
+    while (i < na) {
+      val v = a(i)
+      bDirsAt(v) match {
+        case Some((e1, e2)) =>
+          (for {
+            d1 <- dir(v, a((i + na - 1) % na))
+            d2 <- dir(v, a((i + 1) % na))
+          } yield (d1, d2)) match {
+            case Some((d1, d2)) =>
+              val anyShared = sameDir(d1, e1) || sameDir(d1, e2) ||
+                sameDir(d2, e1) || sameDir(d2, e2)
+              if (!anyShared) {
+                val dirs = Seq((d1, 'a'), (d2, 'a'), (e1, 'b'), (e2, 'b'))
+                  .sortBy { case (d, _) => math.atan2(d._2, d._1) }
+                  .map(_._2)
+                if (dirs(0) != dirs(1) && dirs(1) != dirs(2) &&
+                    dirs(2) != dirs(3)) return true
+              }
+            case None =>
+          }
+        case None =>
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Any collinear edge pair overlapping over positive length
     * (dim-1 boundary∩boundary contact).
     */
@@ -509,28 +580,72 @@ object GeometryAlgorithms {
     * exposes `relate`) for simple planar polygons.
     *
     * Method: boundary sample classification (vertices + edge midpoints
-    * located in the other polygon) + exact proper-crossing and
-    * collinear-overlap edge tests + the clip-based interior probe as the
-    * containment fallback (so `relate(a, a)` reports 2FFF1FFF2 without
-    * any strictly-interior boundary sample). Caveat shared with the
-    * repo's clip family: a transversal crossing EXACTLY at a shared
-    * vertex with no strictly-inside sample can under-report the
-    * boundary-interior entries.
+    * located in the other polygon) + exact proper-crossing,
+    * at-vertex-transversal (angular alternation) and collinear-overlap
+    * edge tests + the interior-point probe as the containment fallback
+    * (so `relate(a, a)` reports 2FFF1FFF2 without any strictly-interior
+    * boundary sample). The r3 shared-vertex transversal blind spot is
+    * closed exactly by [[vertexTransversal]]; the remaining documented
+    * approximation is sub-midpoint boundary FEATURES (a wiggle finer
+    * than half an edge that dips into the other polygon without any
+    * crossing evidence), which cannot occur for simple convex-edge
+    * fixtures and degrades to a touch/containment misgrade, never a
+    * false intersection.
     */
   def relate(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): String =
     relatePolygons(poly(a), poly(b))
 
-  /** A point strictly inside the polygon (hole-aware): inward offsets
-    * from exterior-edge midpoints at a few scales. A valid polygon's
+  /** A point strictly inside the polygon (hole-aware). A valid polygon's
     * interior is connected, so ONE interior point decides containment
-    * questions for the whole interior.
+    * questions for the whole interior. Candidates, every one validated
+    * with the hole-aware `contains` before acceptance:
+    *  1. the convex-corner triangle method (take the lexicographically
+    *     lowest vertex v — necessarily convex for a simple ring — and
+    *     either the centroid of (prev, v, next) when no other vertex lies
+    *     in that triangle, or midpoints of v→q for the contained vertices
+    *     q by falling line-distance). For a simple hole-free ring the
+    *     first of these is GUARANTEED interior, so a miss is only
+    *     possible for empty-interior degenerates or when every candidate
+    *     lands in a hole;
+    *  2. inward offsets from exterior-edge midpoints at a few scales
+    *     (hole-avoidance sweep).
+    * A `None` therefore means the interior is (numerically) empty, in
+    * which case closure containment is decided by the boundary alone and
+    * the callers' boundary-only answer is exact, not an assumption
+    * (r3 ADVICE).
     */
   private[core] def interiorPoint(p: Polygon2D): Option[Pt] = {
     val r = p.exterior
     val n = r.length
     val (x0, y0, x1, y1) = p.bbox
     val d = math.max(x1 - x0, y1 - y0)
-    val candidates = for {
+    val triangle: Iterator[Pt] =
+      if (n < 3) Iterator.empty
+      else {
+        var vi = 0
+        var i = 1
+        while (i < n) {
+          if (r(i)._1 < r(vi)._1 ||
+              (r(i)._1 == r(vi)._1 && r(i)._2 < r(vi)._2)) vi = i
+          i += 1
+        }
+        val v = r(vi); val a = r((vi + n - 1) % n); val b = r((vi + 1) % n)
+        def inTri(q: Pt): Boolean = {
+          val o1 = Polygon2D.orient(a, v, q)
+          val o2 = Polygon2D.orient(v, b, q)
+          val o3 = Polygon2D.orient(b, a, q)
+          (o1 > 0 && o2 > 0 && o3 > 0) || (o1 < 0 && o2 < 0 && o3 < 0)
+        }
+        val inside = (0 until n).filter(j => j != vi && r(j) != v &&
+          r(j) != a && r(j) != b && inTri(r(j)))
+        if (inside.isEmpty)
+          Iterator(((a._1 + v._1 + b._1) / 3, (a._2 + v._2 + b._2) / 3))
+        else inside.sortBy(j => -math.abs(Polygon2D.orient(a, b, r(j))))
+          .iterator.map { j =>
+            ((v._1 + r(j)._1) / 2, (v._2 + r(j)._2) / 2)
+          }
+      }
+    val offsets = for {
       i <- (0 until n).iterator
       s <- Iterator(1e-6, 1e-3, 1e-2).map(_ * d)
       sign <- Iterator(1.0, -1.0)
@@ -542,7 +657,7 @@ object GeometryAlgorithms {
       if (len == 0) (mx, my)
       else (mx - sign * ey / len * s, my + sign * ex / len * s)
     }
-    candidates.find(q => p.contains(q._1, q._2))
+    (triangle ++ offsets).find(q => p.contains(q._1, q._2))
   }
 
   /** Hole-aware DE-9IM (see [[relate]] for the matrix convention): the
@@ -567,7 +682,12 @@ object GeometryAlgorithms {
     }
     val clsA = samples(ringsA).map(p => pb.locate(p._1, p._2)) // ∂A in B
     val clsB = samples(ringsB).map(p => pa.locate(p._1, p._2)) // ∂B in A
-    val pc = ringsA.exists(ra => ringsB.exists(rb => properCross(ra, rb)))
+    // exact crossing evidence: open-edge proper crossings PLUS
+    // at-a-vertex transversal crossings (angular alternation — r3 ADVICE
+    // closed the shared-vertex blind spot of midpoint sampling)
+    val pc = ringsA.exists(ra => ringsB.exists(rb =>
+      properCross(ra, rb) || vertexTransversal(ra, rb) ||
+        vertexTransversal(rb, ra)))
     val co =
       ringsA.exists(ra => ringsB.exists(rb => collinearOverlap(ra, rb)))
     val aInsideSome = clsA.contains(1)

@@ -107,13 +107,15 @@ object Crossover {
     *
     * Orientation note: x1 ∈ [-180, 180] always, so a high-seam crossing is
     * ascending (x1 < 180 < xu2) and a low-seam crossing descending — each
-    * splits into exactly two pieces. Seam-point hits land in the outgoing
-    * piece (param t = 0, inside the half-open [0,1)) and are excluded from
-    * the incoming one (t = 1), so same-direction seam hits are reported
-    * exactly once. Known measure-zero caveat: two tracks crossing EXACTLY
-    * at the seam while travelling in opposite x directions put their
-    * outgoing pieces in different frames (−180 vs +180) and that single
-    * point is missed; any crossing epsilon off the seam is found normally.
+    * splits into exactly two pieces. Two tracks crossing EXACTLY at the
+    * seam while travelling in opposite x directions put their outgoing
+    * pieces in different frames (−180 vs +180), so the t = 0 outgoing
+    * representation alone cannot pair them; [[join]] therefore (geodetic
+    * only) also ACCEPTS the closed t = 1 / u = 1 endpoint when the piece
+    * ends exactly on the seam, and dedups the resulting seam hits on
+    * normalized coordinates (r3 ADVICE — rounded-lon-grid ephemerides make
+    * exact ±180 vertices common, not measure-zero). Off-seam crossings
+    * keep the half-open [0,1) report-once rule unchanged.
     */
   private def seamSplit(seg: DataFrame, tag: String): DataFrame = {
     val x1 = col(s"${tag}x1"); val y1 = col(s"${tag}y1")
@@ -238,9 +240,20 @@ object Crossover {
       .filter(col("_denom") =!= 0.0)
       .withColumn("_t", tPar)
       .withColumn("_u", uPar)
-      // half-open [0,1): shared-vertex crossovers are reported once
-      .filter(col("_t") >= 0.0 && col("_t") < 1.0 &&
-        col("_u") >= 0.0 && col("_u") < 1.0)
+      // half-open [0,1): shared-vertex crossovers are reported once.
+      // Geodetic exception (r3 ADVICE): a piece ending EXACTLY on the
+      // antimeridian also accepts its closed endpoint (t/u = 1) — the
+      // opposite-direction exact-seam crossing only exists as the t = 1
+      // end of each track's incoming piece in one shared frame; the
+      // duplicates this admits all land on |x| = 180 and are deduped on
+      // normalized coordinates below.
+      .filter(col("_t") >= 0.0 && col("_u") >= 0.0 &&
+        (col("_t") < 1.0 ||
+          (lit(geodetic) && abs(col("ax2")) === 180.0 &&
+            col("_t") <= 1.0)) &&
+        (col("_u") < 1.0 ||
+          (lit(geodetic) && abs(col("bx2")) === 180.0 &&
+            col("_u") <= 1.0)))
       .withColumn("x", col("ax1") + col("_t") * (col("ax2") - col("ax1")))
       .withColumn("y", col("ay1") + col("_t") * (col("ay2") - col("ay1")))
       // report-once rule: only the cell containing the point emits the hit
@@ -291,6 +304,23 @@ object Crossover {
       if (geodetic)
         col("x") - lit(360.0) * floor((col("x") + 180.0) / 360.0)
       else col("x")
-    filtered.select(xOut.as("x"), col("y"), col("idx_a"), col("idx_b"))
+    val base = filtered.select(xOut.as("x"), col("y"), col("idx_a"),
+      col("idx_b"))
+    if (!geodetic) base
+    else {
+      // collapse the multiply-reported exact-seam hits (both frames, and
+      // both the closed incoming and open outgoing piece) to one row.
+      // Single pass: non-seam rows keep their exact (x, y) as the group
+      // key — only |x| = 180 rows share a pinned key and actually merge.
+      // The shuffle this adds is over the HITS table (output-sized, tiny
+      // next to the segment join), and min() keeps the pick deterministic.
+      val seam = abs(abs(col("x")) - lit(180.0)) <= lit(1e-9)
+      base.groupBy(
+          when(seam, lit(-180.0)).otherwise(col("x")).as("_xk"),
+          when(seam, round(col("y"), 9)).otherwise(col("y")).as("_yk"),
+          col("idx_a"), col("idx_b"))
+        .agg(min(col("x")).as("x"), min(col("y")).as("y"))
+        .select(col("x"), col("y"), col("idx_a"), col("idx_b"))
+    }
   }
 }

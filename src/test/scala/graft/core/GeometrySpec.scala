@@ -95,6 +95,40 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
     assert(relate(t3, a) === "2FF1FF212")
   }
 
+  test("at-vertex transversal crossing is detected exactly (r3 ADVICE)") {
+    val sq = rect(0, 0, 4, 4)
+    // diamond whose LEFT vertex sits exactly on sq's bottom edge and whose
+    // wedge straddles it (45 deg / -45 deg): a transversal crossing with
+    // no open-edge proper cross at that point
+    val diamond = IndexedSeq((2.0, 0.0), (3.0, 1.0), (4.0, 0.0), (3.0, -1.0))
+    assert(GeometryAlgorithms.vertexTransversal(diamond, sq))
+    val m = relate(sq, diamond)
+    assert(m(0) === '2' && m(4) === '0', m) // interiors meet, 0-dim bb ok
+    // kitty-corner squares share a vertex but do NOT cross there
+    val b = rect(4, 4, 8, 8)
+    assert(!GeometryAlgorithms.vertexTransversal(sq, b))
+    assert(!GeometryAlgorithms.vertexTransversal(b, sq))
+    assert(relate(sq, b) === "FF2F01212")
+    // shared-vertex transversal: diamond through sq's corner (0,0)
+    val d2 = IndexedSeq((0.0, 0.0), (1.0, 1.0), (2.0, 0.0), (1.0, -1.0))
+    assert(GeometryAlgorithms.vertexTransversal(d2, sq))
+    assert(relate(sq, d2)(0) === '2')
+  }
+
+  test("interior point exists for slivers the offset sweep misses") {
+    // thin sliver: thickness 1e-7 << 1e-6 * extent, so every inward
+    // offset candidate overshoots; the convex-corner triangle method
+    // must still find a strictly interior point
+    val sliver = Polygon2D(
+      Array((0.0, 0.0), (10.0, 1e-7), (20.0, 0.0), (10.0, -1e-7)))
+    val ip = GeometryAlgorithms.interiorPoint(sliver)
+    assert(ip.isDefined)
+    assert(sliver.contains(ip.get._1, ip.get._2))
+    // and self-relate on the sliver still reports equality
+    val r = sliver.exterior.toIndexedSeq
+    assert(relate(r, r) === "2FFF1FFF2")
+  }
+
   test("DE-9IM relate is hole-aware") {
     val annulus = Polygon2D(
       rect(0, 0, 10, 10).toArray,

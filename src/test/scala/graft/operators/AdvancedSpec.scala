@@ -159,6 +159,35 @@ class CrossoverSpec extends AnyFunSuite {
     assert(math.abs(out(0).getDouble(0)) > 170.0)
   }
 
+  test("exact-seam opposite-direction crossover reported exactly once") {
+    // r3 ADVICE: A eastbound and B westbound cross EXACTLY on the
+    // antimeridian (mid-segment). Their outgoing pieces land in different
+    // frames (-180 vs +180), so the old outgoing-only (t = 0) rule missed
+    // the point entirely; the closed-seam-endpoint acceptance + dedup must
+    // report it exactly once, at normalized lon -180.
+    val a = Seq((0, 179.0, -1.0), (1, -179.0, 1.0)).toDF("idx", "x", "y")
+    val b = Seq((0, -179.0, 1.0), (1, 179.0, -1.0))
+      .map { case (i, x, y) => (i, x, -y) }.toDF("idx", "x", "y")
+    val out = Crossover.join(spark, a, b, geodetic = true).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out(0).getDouble(0) == -180.0)
+    assert(math.abs(out(0).getDouble(1)) < 1e-9)
+  }
+
+  test("exact-seam shared-vertex crossover reported exactly once") {
+    // both tracks carry a vertex exactly at lon ±180 (rounded-lon-grid
+    // ephemeris shape) and cross there travelling in opposite directions
+    val a = Seq((0, 179.0, -1.0), (1, -180.0, 0.0), (2, -179.0, 1.0))
+      .toDF("idx", "x", "y")
+    val b = Seq((0, -179.0, -1.0), (1, -180.0, 0.0), (2, 179.0, 1.0))
+      .toDF("idx", "x", "y")
+    val out = Crossover.join(spark, a, b, geodetic = true).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out(0).getDouble(0) == -180.0)
+    assert(math.abs(out(0).getDouble(1)) < 1e-9)
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+  }
+
   test("supercover cell cover is O(ix+iy) for a long diagonal, not ix*iy") {
     // one segment spanning 100x100 cells diagonally: bbox-product cover
     // would replicate it 10000x; the supercover must stay ~3 per column
