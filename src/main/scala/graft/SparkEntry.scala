@@ -522,6 +522,48 @@ object SparkEntry {
           40, 20).as("cell20"))
         .groupBy("cell20").agg(count(lit(1)).as("cnt"))
     }),
+    "q_geohash_cell" -> ((s, dir) => {
+      // decode / centroid / cell-area value face (SURVEY rows 42 & 45,
+      // previously ScalaTest-only): the engine path de-interleaves the
+      // hash (squash) and applies the exact ellipsoidal-rectangle area
+      // closed form; the oracle reconstructs the SAME cell from pure
+      // truncation arithmetic on (lon, lat) — no bit interleave at all —
+      // and the same q(phi) form, an independent derivation end to end.
+      val ev = s.read.parquet(t(dir, "events"))
+      val cell = gf.geohash_encode(lonOf(col("user_id")),
+        latOf(col("user_id")), 40)
+      ev.select(col("event_id"), cell.as("cell"))
+        .select(col("event_id"),
+          round(gf.geohash_lon(col("cell"), 40), 9).as("c_lon"),
+          round(gf.geohash_lat(col("cell"), 40), 9).as("c_lat"),
+          round(gf.geohash_area(col("cell"), 40), 4).as("area_m2"))
+    }),
+    "q_axis_lookup" -> ((s, dir) => {
+      import s.implicits._
+      // Axis.findIndex/contains + TemporalAxis unit conversion value face
+      // (SURVEY rows 8 & 49, previously ScalaTest-only): a broadcast
+      // regular axis probed per row — the grid-lookup primitive every
+      // interpolator rides — with out-of-range probes exercising the
+      // unbounded -1 contract, plus exact datetime64-style tick casts
+      // (upcast multiplies, downcast FLOOR-divides, also for the
+      // pre-epoch ticks this probe set includes).
+      val ax = graft.core.Axis.regular(0.0, 24.0, 97)
+      val bc = s.sparkContext.broadcast(ax)
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.select(col("event_id"),
+          ((col("event_id") % 256).cast("double") / 10.0 - 2.0).as("x"),
+          ((col("event_id") % 1000 - 500) * 37).as("ms"))
+        .as[(Long, Double, Long)]
+        .mapPartitions { it =>
+          val a = bc.value
+          it.map { case (id, x, ms) =>
+            (id, a.findIndex(x, bounded = false), a.contains(x),
+              graft.core.TemporalAxis.convert(ms, "ms", "us"),
+              graft.core.TemporalAxis.convert(ms, "ms", "s"))
+          }
+        }
+        .toDF("event_id", "idx", "inside", "t_us", "t_s")
+    }),
 
     // ======== geodesy (§2.2) ========
     "q_lla_to_ecef" -> ((s, dir) => {
@@ -2238,6 +2280,50 @@ object SparkEntry {
           latSql.format("user_id"), 40)} AS cell FROM events)
            |SELECT cell // 1048576 AS cell20, COUNT(*) AS cnt
            |FROM c GROUP BY cell20""".stripMargin.replace("\n", " "),
+
+      // decode/centroid/area oracle with NO bit interleave: the cell
+      // corner at precision 40 (20+20 bits) is pure truncation —
+      // idx = trunc((v+r)/2r * 2^32) // 2^12, corner = 2r*idx/2^20 - r —
+      // with fp op order mirroring the engine's decodeRange exactly;
+      // area is the same exact ellipsoidal-rectangle closed form as
+      // q_geodesic_area (k and q(phi) computed here, not by the engine)
+      "q_geohash_cell" -> {
+        val sph = graft.core.Spheroid.Wgs84
+        val k = sph.a * sph.a * (1.0 - sph.e2) / 2.0
+        def corner(v: String, r: Int) =
+          s"(${2 * r}.0 * (CAST(CAST(trunc((($v) + $r.0) / ${2 * r}.0 * " +
+            "4294967296.0) AS HUGEINT) // 4096::HUGEINT AS DOUBLE) / " +
+            s"1048576.0) - $r.0)"
+        s"""WITH pt AS (SELECT event_id, ${lonSql.format("user_id")} AS lon,
+           |  ${latSql.format("user_id")} AS lat FROM events),
+           | c AS (SELECT event_id, ${corner("lon", 180)} AS x0,
+           |  ${corner("lat", 90)} AS y0 FROM pt),
+           | b AS (SELECT event_id, x0, y0,
+           |  x0 + 0.00034332275390625 AS x1,
+           |  y0 + 0.000171661376953125 AS y1 FROM c)
+           |SELECT event_id, round((x0 + x1) / 2.0, 9) AS c_lon,
+           | round((y0 + y1) / 2.0, 9) AS c_lat,
+           | round(abs($k * radians(abs(x1 - x0)) *
+           |  (${qLatSql("y1")} - ${qLatSql("y0")})), 4) AS area_m2
+           |FROM b""".stripMargin.replace("\n", " ")
+      },
+
+      // regular-axis lookup (round((x-x0)*invStep) with Math.round =
+      // floor(v+0.5), -1 outside [0, 97)), closed-interval contains, and
+      // the exact integer tick casts (x1000 up, floor-division down)
+      "q_axis_lookup" ->
+        """WITH p AS (SELECT event_id,
+          |  CAST(event_id % 256 AS DOUBLE) / 10.0 - 2.0 AS x,
+          |  (event_id % 1000 - 500) * 37 AS ms FROM events),
+          | r AS (SELECT event_id, x, ms,
+          |  CAST(floor((x - 0.0) * 4.0 + 0.5) AS BIGINT) AS ri FROM p)
+          |SELECT event_id,
+          | CAST(CASE WHEN ri < 0 OR ri >= 97 THEN -1 ELSE ri END AS INT)
+          |   AS idx,
+          | (x >= 0.0 AND x <= 24.0) AS inside,
+          | ms * 1000 AS t_us,
+          | CAST(floor(CAST(ms AS DOUBLE) / 1000.0) AS BIGINT) AS t_s
+          |FROM r""".stripMargin.replace("\n", " "),
 
       "q_pip_join" -> {
         val verts = pentagon.exterior

@@ -104,11 +104,22 @@ object Similarity {
     * which scales to any query-set size. `broadcastQueryBytes = 0` forces
     * the shuffle plan outright.
     *
-    * Skew note: a degenerate corpus (many identical vectors) can make one
-    * (tbl, bucket) hot; unlike [[cosineNearDupPairs]] there is no
-    * hot-bucket drop here because silently dropping a bucket degrades
-    * top-k recall — dedup near-identical vectors first (the near-dup
-    * operator is the tool) or raise `planes` to split buckets.
+    * Skew: a degenerate corpus (many identical/near-identical vectors)
+    * makes one (tbl, bucket) hot, and the candidate join for that bucket
+    * is genuinely |items_B| × |queries_B| — that IS the LSH candidate
+    * set, so unlike [[cosineNearDupPairs]] nothing can be dropped without
+    * degrading top-k recall. Mitigation is therefore two-level:
+    *  - the STRAGGLER (one task owning the hot bucket) is dissolved by
+    *    AQE skew-join splitting — the shuffle-path candidates join is a
+    *    plain equi-join, exactly the shape
+    *    `spark.sql.adaptive.skewJoin.enabled` (on by default) splits and
+    *    replicates at runtime; keep it on (the degenerate-corpus spec
+    *    pins that the shuffle plan stays in AQE-splittable join shapes);
+    *  - the VOLUME (quadratic candidate count itself) is a hard
+    *    precondition: near-duplicate-dedup the corpus first
+    *    ([[cosineNearDupPairs]] is the tool) or raise `planes` so buckets
+    *    split. A corpus with q duplicated vectors emits O(q²) candidate
+    *    rows by construction and no join strategy changes that.
     */
   def lshTopK(items: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               tables: Int = 4, seed: Long = 42L,
