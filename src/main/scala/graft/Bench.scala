@@ -169,6 +169,46 @@ object Bench {
     val rateFull = tiles / bestFull
     val efficiency = (rate4N / rateN) / (nLarge.toDouble / nSmall)
 
+    // spatialPartition crossover measurement (r3 VERDICT stretch 9), from
+    // a PARQUET SCAN rather than in-memory synthesis — the real-input
+    // shape the co-location argument is about. `true` pre-shuffles images
+    // into coarse-cell neighborhoods so the merge shuffle carries ~1 row
+    // per cell; `false` ships ~9 partial tiles per image into the merge.
+    // On this single-JVM host shuffle is memcpy, so the extra exchange is
+    // expected to cost more than it saves — this measures instead of
+    // asserts, and the numbers land in BASELINE.md and the JSON line.
+    val spImages = math.min(nImages, 40000L)
+    val (spOffSec, spOnSec) = try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bench_scan").toString
+      val sW = session(cpus)
+      try {
+        import sW.implicits._
+        graft.pipeline.ImageTableGen.generate(sW, spImages, size = 32,
+            partitions = cpus * 4)
+          .write.mode("overwrite").parquet(dir)
+        def arm(sp: Boolean): Double = {
+          val scan = sW.read.parquet(dir).as[graft.pipeline.ImageRow]
+          val t0 = System.nanoTime()
+          graft.pipeline.TilePipeline.tiles(sW, scan, precision = 20,
+            tileSize = 32, method = "bicubic", spatialPartition = sp).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        arm(false); arm(true) // warmup both shapes (JIT + scan cache)
+        val off = math.min(arm(false), arm(false))
+        val on = math.min(arm(true), arm(true))
+        (off, on)
+      } finally {
+        sW.stop()
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+        }
+      }
+    } catch { case _: Throwable => (Double.NaN, Double.NaN) }
+
     val md =
       s"""# BENCH — measured numbers (this round)
          |
@@ -217,6 +257,17 @@ object Bench {
          |exactly the regime the 4->16-core in-bandwidth measurement
          |represents.
          |
+         |spatialPartition crossover (measured from a PARQUET SCAN of
+         |$spImages images, local[$cpus], min-of-2 after warmup):
+         |off = ${f"$spOffSec%.2f"} s, on = ${f"$spOnSec%.2f"} s
+         |(${if (spOnSec < spOffSec) "co-location wins on this host"
+            else "extra exchange loses on this host — expected: local " +
+              "shuffle is memcpy"}). The `on` arm is the 100-TB shape:
+         |on a network-shuffle cluster the merge traffic drops from
+         |~9 partial tiles per image to ~1 row per cell, which is the
+         |regime where the pre-shuffle pays; the default stays off for
+         |single-node deployments.
+         |
          |Per-query single-shot wall times at `$sfDir`, local[$cpus], are
          |in the driver's BENCH_r{N}.json.
          |""".stripMargin
@@ -235,6 +286,8 @@ object Bench {
       s""""tiles_per_sec_small":$rateN,"cores_small":$nSmall,""" +
       s""""tiles_per_sec_4n":$rate4N,"cores_large":$nLarge,""" +
       s""""cores_deploy":$cpus,"scaling_efficiency":$efficiency,""" +
+      s""""scan_sp_off_sec":${if (spOffSec.isNaN) "null" else spOffSec},""" +
+      s""""scan_sp_on_sec":${if (spOnSec.isNaN) "null" else spOnSec},""" +
       s""""ann_recall_at5":${if (annRecall.isNaN) "null" else annRecall},""" +
       s""""ann_recall_at5_big_probe":${
         if (annRecallBig.isNaN) "null" else annRecallBig}}"""

@@ -1138,6 +1138,47 @@ object SparkEntry {
         col("min").as("min_v"), col("max").as("max_v"))
     }),
 
+    "q_streaming_sessions" -> ((s, dir) => {
+      import s.implicits._
+      // §2.10 sessions: gap segmentation as a REAL file-source stream
+      // through flatMapGroupsWithState (event-time state, append mode),
+      // driver-compared to the batch SQL segmentation (lag + cumulative
+      // break-sum in DuckDB). One far-future SENTINEL row per key is
+      // appended to the staged stream so every real segment closes via
+      // the gap rule INSIDE the stream — the comparison carries no
+      // dependence on watermark/timeout timing: the sentinel's own open
+      // segment is never emitted, and the oracle segments the raw events
+      // without sentinels.
+      val ev = s.read.parquet(t(dir, "events"))
+      val obs = ev.select((col("user_id") % 64).as("key"), col("ts"))
+      val sentinelTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      val sent = obs.select(col("key")).distinct()
+        .select(col("key"), lit(sentinelTs).as("ts"))
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_stream_sessions")
+      tmp.toFile.deleteOnExit()
+      val staged = tmp.resolve("staged").toString
+      // one part file -> the whole table lands in one micro-batch, so
+      // the in-batch sort in the session function sees all rows in order
+      obs.union(sent).coalesce(1).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "3650 days")
+        .as[graft.streaming.StreamingSessions.Obs]
+      val segs = graft.streaming.StreamingSessions.segments(s, stream,
+        gapSeconds = 21600L)
+      val qname = "q_streaming_sessions_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val q = segs.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qname)
+        .filter(col("seg_start") < lit(sentinelTs))
+        .select(col("key"), col("seg_start").cast("long").as("t0"),
+          col("seg_end").cast("long").as("t1"), col("n"))
+    }),
+
     // ======== text / training-data ops ========
     "q_dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
@@ -2475,6 +2516,26 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour, event_type,
           | COUNT(*) AS cnt, round(SUM(value), 6) AS sum_v
           |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+      // batch gap segmentation (lag + cumulative break-sum) over the raw
+      // events — equals the streamed session output because the sentinel
+      // rows close every real segment in-stream and are themselves never
+      // emitted. date_diff('millisecond') counts boundary crossings,
+      // matching the operator's Timestamp.getTime milli arithmetic.
+      "q_streaming_sessions" ->
+        """WITH e AS (SELECT user_id % 64 AS key, ts FROM events),
+          | d AS (SELECT key, ts,
+          |   lag(ts) OVER (PARTITION BY key ORDER BY ts) AS prev FROM e),
+          | b AS (SELECT key, ts, CASE WHEN prev IS NULL OR
+          |   date_diff('millisecond', prev, ts) > 21600000
+          |   THEN 1 ELSE 0 END AS brk FROM d),
+          | g AS (SELECT key, ts, SUM(brk) OVER (PARTITION BY key
+          |   ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+          |   ROW) AS seg FROM b)
+          |SELECT key, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+          | CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1,
+          | COUNT(*) AS n
+          |FROM g GROUP BY key, seg""".stripMargin.replace("\n", " "),
 
       "q_dedup_exact" ->
         """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
