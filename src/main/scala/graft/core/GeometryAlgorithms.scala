@@ -402,6 +402,73 @@ object GeometryAlgorithms {
     false
   }
 
+  /** DE-9IM `crosses` for two OPEN polylines (completes the reference's
+    * bound predicate family, `crosses_geographic.cpp`): true iff the
+    * lines share a point interior to BOTH (a line's interior is
+    * everything but its two end vertices — so mid-line T-contacts count,
+    * matching dim(I∩I) = 0) and share no 1-dimensional collinear
+    * overlap (that is `overlaps`, not `crosses`).
+    */
+  def crossesLines(a: IndexedSeq[Pt], b: IndexedSeq[Pt]): Boolean = {
+    if (a.length < 2 || b.length < 2) return false
+    // any positive-length collinear overlap between open segments → dim 1
+    var i = 0
+    while (i < a.length - 1) {
+      val a1 = a(i); val a2 = a(i + 1)
+      var j = 0
+      while (j < b.length - 1) {
+        val b1 = b(j); val b2 = b(j + 1)
+        if (Polygon2D.orient(a1, a2, b1) == 0 &&
+            Polygon2D.orient(a1, a2, b2) == 0) {
+          val horiz = math.abs(a2._1 - a1._1) >= math.abs(a2._2 - a1._2)
+          def c(p: Pt) = if (horiz) p._1 else p._2
+          val lo = math.max(math.min(c(a1), c(a2)), math.min(c(b1), c(b2)))
+          val hi = math.min(math.max(c(a1), c(a2)), math.max(c(b1), c(b2)))
+          if (hi > lo) return false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    def interiorTo(line: IndexedSeq[Pt], p: Pt): Boolean =
+      p != line.head && p != line.last
+    def onSeg(p: Pt, q: Pt, r: Pt): Boolean =
+      Polygon2D.orient(p, q, r) == 0 &&
+        r._1 >= math.min(p._1, q._1) && r._1 <= math.max(p._1, q._1) &&
+        r._2 >= math.min(p._2, q._2) && r._2 <= math.max(p._2, q._2)
+    i = 0
+    while (i < a.length - 1) {
+      val a1 = a(i); val a2 = a(i + 1)
+      var j = 0
+      while (j < b.length - 1) {
+        val b1 = b(j); val b2 = b(j + 1)
+        if (Polygon2D.segmentsIntersect(a1, a2, b1, b2)) {
+          val d1 = Polygon2D.orient(b1, b2, a1)
+          val d2 = Polygon2D.orient(b1, b2, a2)
+          val d3 = Polygon2D.orient(a1, a2, b1)
+          val d4 = Polygon2D.orient(a1, a2, b2)
+          val pts: Iterator[Pt] =
+            if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+                ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) {
+              // proper crossing: the unique parametric point
+              val t = d1 / (d1 - d2)
+              Iterator((a1._1 + t * (a2._1 - a1._1),
+                a1._2 + t * (a2._2 - a1._2)))
+            } else
+              // contact at segment endpoints / T-touch: candidate points
+              // are the endpoints lying on the other segment
+              Iterator(a1, a2).filter(p => onSeg(b1, b2, p)) ++
+                Iterator(b1, b2).filter(p => onSeg(a1, a2, p))
+          if (pts.exists(p => interiorTo(a, p) && interiorTo(b, p)))
+            return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Exact transversal-crossing test at a boundary point that is a
     * VERTEX of ring `a` (r3 ADVICE): [[properCross]] only sees crossings
     * in the open interior of both edges, so two boundaries crossing

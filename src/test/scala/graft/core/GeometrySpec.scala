@@ -115,6 +115,29 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
     assert(relate(sq, d2)(0) === '2')
   }
 
+  test("crosses predicate for open polylines (DE-9IM dim-0 interior)") {
+    import GeometryAlgorithms.crossesLines
+    val x1 = IndexedSeq((0.0, 0.0), (4.0, 4.0))
+    val x2 = IndexedSeq((0.0, 4.0), (4.0, 0.0))
+    assert(crossesLines(x1, x2)) // X crossing
+    // T-touch mid-line: contact point interior to both -> crosses
+    val t1 = IndexedSeq((0.0, 0.0), (4.0, 0.0))
+    val t2 = IndexedSeq((2.0, -2.0), (2.0, 0.0), (2.0, 2.0))
+    assert(crossesLines(t1, t2))
+    // endpoint touch: point on t1's interior but IS an endpoint of e2
+    val e2 = IndexedSeq((2.0, 2.0), (2.0, 0.0))
+    assert(!crossesLines(t1, e2))
+    // collinear overlap is dim 1 -> overlaps, not crosses
+    val o2 = IndexedSeq((1.0, 0.0), (3.0, 0.0), (3.0, 2.0))
+    assert(!crossesLines(t1, o2))
+    // disjoint
+    assert(!crossesLines(t1, IndexedSeq((0.0, 1.0), (4.0, 1.0))))
+    // crossing exactly at a shared interior vertex of both lines
+    val v1 = IndexedSeq((0.0, 0.0), (2.0, 0.0), (4.0, 0.0))
+    val v2 = IndexedSeq((2.0, -2.0), (2.0, 0.0), (2.0, 3.0))
+    assert(crossesLines(v1, v2))
+  }
+
   test("interior point exists for slivers the offset sweep misses") {
     // thin sliver: thickness 1e-7 << 1e-6 * extent, so every inward
     // offset candidate overshoots; the convex-corner triangle method
