@@ -39,11 +39,22 @@ object Dedup {
     */
   private[operators] def dropHotBuckets(df: DataFrame, keys: Seq[String],
                                         maxBucketSize: Long): DataFrame = {
-    val hot = df.groupBy(keys.map(col): _*)
+    // Pin the banded/chunked table ONCE before it fans out. Without this
+    // the upstream pipeline (text scan -> shingle/token hash -> signature
+    // -> band explode) is recomputed by every branch — the hot count,
+    // the anti-join probe, and BOTH sides of the caller's self-join: four
+    // full corpus scans (measured in the executed plan). The pinned rows
+    // are only (id, key..) — a fraction of the text being scanned, and
+    // the same bytes the self-join must shuffle anyway — so one
+    // materialization replaces three recomputations. Same lost-block
+    // trade as GridInterpolator.withStableId: fails loudly, never
+    // silently recomputes divergent buckets.
+    val pinned = df.localCheckpoint()
+    val hot = pinned.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") > maxBucketSize)
       .select(keys.map(col): _*)
-    df.join(broadcast(hot), keys, "left_anti")
+    pinned.join(broadcast(hot), keys, "left_anti")
   }
 
   /** Exact dedup: keep one representative per normalized fingerprint.
