@@ -393,6 +393,22 @@ object SparkEntry {
     s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
   }
 
+  /** 3-D mid-stencil oracle: the same constant 6x6 weights applied to
+    * BOTH z-bracketing planes of the modular lattice, averaged — the
+    * half-z-step probe makes the linear combine an exact 0.5/0.5 mix.
+    */
+  def midStencil3dSql(w: Array[Array[Double]]): String = {
+    def f(a: Int, b: Int, k: String) =
+      s"CAST(((o_orderkey % 34 + 1 + $a) * 31 + " +
+        s"(o_orderkey * 7 % 34 + 1 + $b) * 17 + ($k) * 7) % 97 AS DOUBLE)"
+    val terms = (for (a <- 0 until 6; b <- 0 until 6
+        if math.abs(w(a)(b)) > 1e-18) yield
+      s"(${w(a)(b)}) * 0.5 * (${f(a, b, "o_orderkey % 4")} + " +
+        s"${f(a, b, "o_orderkey % 4 + 1")})")
+      .mkString(" + ")
+    s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
+  }
+
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val images = graft.pipeline.ImageTableGen.generate(spark, 64, 16)
@@ -820,6 +836,27 @@ object SparkEntry {
         ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"))
       GridInterpolator.bivariateTableWindowed(s, probe, "x", "y", gridTable,
           "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+    "q_bicubic3d_biggrid" -> ((s, dir) => {
+      // 3-D WINDOWED grid-as-table path: bicubic in-plane on the two
+      // z-bracketing planes of a 41x41x5 lattice + linear z combine, via
+      // the 72-corner stencil join — no broadcast, no driver collect.
+      // Probes at half-cell (x, y) and half-step z: the constant 6x6
+      // stencil + exact 0.5/0.5 plane mix give a closed-form oracle.
+      val gridTable = s.range(41L * 41L * 5L).select(
+        floor(col("id") / 205).cast("double").as("lon"),
+        (floor(col("id") / 5) % 41).cast("double").as("lat"),
+        (col("id") % 5).cast("double").as("z"),
+        ((floor(col("id") / 205) * 31 + (floor(col("id") / 5) % 41) * 17 +
+          (col("id") % 5) * 7) % 97).cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").plus(0.5).as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"),
+        ((col("o_orderkey") % 4).cast("double") + 0.5).as("zq"))
+      GridInterpolator.trivariateTableWindowed(s, probe, "x", "y", "zq",
+          gridTable, "bicubic")
         .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
     "q_bicubic_grid" -> ((s, dir) => {
@@ -1877,6 +1914,9 @@ object SparkEntry {
       // path must reproduce the broadcast kernel bit-for-bit
       "q_bicubic_biggrid" ->
         SparkEntry.midStencilSql(SparkEntry.bicubicMidStencil),
+
+      "q_bicubic3d_biggrid" ->
+        SparkEntry.midStencil3dSql(SparkEntry.bicubicMidStencil),
 
       "q_bicubic_nodes" ->
         """SELECT o_orderkey,

@@ -234,10 +234,12 @@ object GridInterpolator {
     * `pybind/geometric/trivariate.hpp:46-120`). Same scale contract: the
     * lattice never leaves the cluster.
     */
-  def trivariateTable(spark: SparkSession, probe: DataFrame, xCol: String,
-                      yCol: String, zCol: String, gridTable: DataFrame,
-                      zColName: String = "", valueCol: String = "",
-                      outputCol: String = "value"): DataFrame = {
+  /** Axis-role + value-column resolution for the 3-D grid-as-table paths
+    * (shared by [[trivariateTable]] and [[trivariateTableWindowed]]).
+    */
+  private def resolveGrid3dTable(gridTable: DataFrame, zColName: String,
+                                 valueCol: String, caller: String)
+      : (String, String, String, String, Axis, Axis, Axis) = {
     import graft.sources.GridLoader
     val roles = GridLoader.identifyAxes(gridTable)
     val lonCol = roles.lon.getOrElse(
@@ -256,9 +258,17 @@ object GridInterpolator {
     val axes = GridLoader.axesOf(gridTable, Seq(lonCol, latCol, zName))
     require(axes.forall(a => a.isRegular && a.size >= 2 && !a.isPeriodic &&
       a.front < a.back),
-      "trivariateTable requires regular ascending non-periodic axes; load " +
+      s"$caller requires regular ascending non-periodic axes; load " +
         "irregular/periodic grids through GridLoader.grid3d (broadcast)")
-    val Seq(xAxis, yAxis, zAxis) = axes
+    (lonCol, latCol, zName, vCol, axes(0), axes(1), axes(2))
+  }
+
+  def trivariateTable(spark: SparkSession, probe: DataFrame, xCol: String,
+                      yCol: String, zCol: String, gridTable: DataFrame,
+                      zColName: String = "", valueCol: String = "",
+                      outputCol: String = "value"): DataFrame = {
+    val (lonCol, latCol, zName, vCol, xAxis, yAxis, zAxis) =
+      resolveGrid3dTable(gridTable, zColName, valueCol, "trivariateTable")
 
     val cells = gridTable.select(
       round((col(lonCol).cast("double") - lit(xAxis.front)) /
@@ -411,6 +421,111 @@ object GridInterpolator {
     val yf = yAxis.front; val yst = yAxis.step
     val vals = evalIn.mapPartitions { iter =>
       new WindowedTableEvaluator(iter, m, hw, xf, xst, yf, yst)
+    }(enc)
+
+    withId.join(vals, Seq("_rid"), "left")
+      .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
+      .drop("_rid", "_v")
+  }
+
+  /** 3-D grid-as-table WINDOWED interpolation: the reference's flagship
+    * trivariate semantics — windowed bicubic/spline in the (x, y) plane
+    * on the two z-bracketing planes, then linear (or nearest) combine
+    * along z (`pybind/windowed/trivariate.hpp:36-113`) — for lattices too
+    * large for the broadcast gate. [[bivariateTableWindowed]]'s stencil
+    * join extended with the z bracket: each framed probe fans out to
+    * 2·(2·halfWindow)² corner keys (72 at the default half-window — the
+    * same rows a 100-TB lattice must ship for the answer anyway), one
+    * shuffle equi-join on (_ci, _cj, _ck) pulls the stencil, groupBy
+    * reassembles both planes, and the typed eval stage runs the SAME
+    * kernels as the broadcast path per plane before the z combine.
+    * Probes outside the frame, and windows with missing/masked cells,
+    * yield NaN (boundary `undef`); a probe exactly on a z node (t = 0)
+    * needs only its own plane, matching the broadcast bracket collapse.
+    */
+  def trivariateTableWindowed(spark: SparkSession, probe: DataFrame,
+                              xCol: String, yCol: String, zCol: String,
+                              gridTable: DataFrame,
+                              method: String = "bicubic",
+                              zMethod: String = "linear",
+                              halfWindow: Int = 3,
+                              zColName: String = "", valueCol: String = "",
+                              outputCol: String = "value"): DataFrame = {
+    require(!geometricMethods.contains(method),
+      s"method $method is geometric — use trivariateTable")
+    require(halfWindow >= 1, "halfWindow must be >= 1")
+    val n = 2 * halfWindow
+    val (lonCol, latCol, zName, vCol, xAxis, yAxis, zAxis) =
+      resolveGrid3dTable(gridTable, zColName, valueCol,
+        "trivariateTableWindowed")
+    require(xAxis.size >= n && yAxis.size >= n,
+      "trivariateTableWindowed requires >= 2*halfWindow nodes per plane " +
+        "axis")
+
+    val cells = gridTable.select(
+      round((col(lonCol).cast("double") - lit(xAxis.front)) /
+        lit(xAxis.step)).cast("int").as("_ci"),
+      round((col(latCol).cast("double") - lit(yAxis.front)) /
+        lit(yAxis.step)).cast("int").as("_cj"),
+      round((col(zName).cast("double") - lit(zAxis.front)) /
+        lit(zAxis.step)).cast("int").as("_ck"),
+      col(vCol).cast("double").as("_z"))
+
+    val withId = withStableId(probe)
+    def frac(c: String, a: Axis) =
+      (col(c).cast("double") - lit(a.front)) / lit(a.step)
+    val p = withId
+      .withColumn("_fx", frac(xCol, xAxis))
+      .withColumn("_fy", frac(yCol, yAxis))
+      .withColumn("_fz", frac(zCol, zAxis))
+      .withColumn("_i0",
+        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_j0",
+        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+      .withColumn("_k0",
+        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+      .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
+      .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
+      .withColumn("_tz", col("_fz") - col("_k0"))
+      .filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
+        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
+        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(xAxis.size - 1) &&
+        col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1))
+    val offsets = for (di <- 0 until n; dj <- 0 until n; dk <- 0 to 1)
+      yield struct(lit(di).as("_di"), lit(dj).as("_dj"), lit(dk).as("_dk"))
+    val corners = p.select(col("_rid"), col("_wi"), col("_wj"), col("_k0"),
+        explode(array(offsets: _*)).as("_d"))
+      .select(col("_rid"),
+        (col("_wi") + col("_d._di")).as("_ci"),
+        (col("_wj") + col("_d._dj")).as("_cj"),
+        (col("_k0") + col("_d._dk")).as("_ck"),
+        col("_d._di").as("_di"), col("_d._dj").as("_dj"),
+        col("_d._dk").as("_dk"))
+    val agg = corners.join(cells, Seq("_ci", "_cj", "_ck"))
+      .groupBy("_rid")
+      .agg(collect_list(struct(col("_di"), col("_dj"), col("_dk"),
+        col("_z"))).as("_cells"))
+    val evalIn = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"), col("_tz"), col("_wi"),
+        col("_wj"), col("_k0"))
+      .join(agg, Seq("_rid"), "left")
+      .sortWithinPartitions("_wi", "_wj", "_k0")
+
+    val outSchema = StructType(Seq(
+      StructField("_rid", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("_v", DoubleType, nullable = false)))
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val hw = halfWindow
+    val m = method
+    val zm = zMethod
+    val xf = xAxis.front; val xst = xAxis.step
+    val yf = yAxis.front; val yst = yAxis.step
+    val vals = evalIn.mapPartitions { iter =>
+      new WindowedTableEvaluator3D(iter, m, zm, hw, xf, xst, yf, yst)
     }(enc)
 
     withId.join(vals, Seq("_rid"), "left")
@@ -807,23 +922,10 @@ private[operators] final class WindowedTableEvaluator(
     xFront: Double, xStep: Double, yFront: Double, yStep: Double)
     extends Iterator[Row] {
   private val n = 2 * halfWindow
-  private val separable = method match {
-    case "bicubic" | "spline_bilinear" => false
-    case _ => true
-  }
   private var lastWi = Int.MinValue
   private var lastWj = Int.MinValue
-  private var lastComplete = false
-  private val xs = new Array[Double](n)
-  private val ys = new Array[Double](n)
-  private var z: Array[Array[Double]] = null
-  private var bicubic: Bicubic = null
-  private var rowFits: Array[graft.core.Univariate1D] = null
-  private var rowOk: Array[Boolean] = null
-  private var sepFitsValid = false
-  private val uniY =
-    if (separable) graft.core.Univariate1D(method) else null
-  private val sepTmp = new Array[Double](n)
+  private var built = false
+  private var fit: WindowFit = null // null after build = incomplete window
 
   override def hasNext: Boolean = in.hasNext
 
@@ -836,56 +938,49 @@ private[operators] final class WindowedTableEvaluator(
     if (row.isNullAt(5)) return Double.NaN
     val wi = row.getInt(3)
     val wj = row.getInt(4)
-    if (wi != lastWi || wj != lastWj || z == null) {
+    if (wi != lastWi || wj != lastWj || !built) {
       lastWi = wi
       lastWj = wj
-      lastComplete = rebuild(wi, wj, row.getSeq[Row](5))
+      built = true
+      fit = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront, yStep,
+        row.getSeq[Row](5), planeOf = null)
     }
-    if (!lastComplete) return Double.NaN
-    val x = row.getDouble(1)
-    val y = row.getDouble(2)
-    method match {
-      case "bicubic" =>
-        if (bicubic == null) bicubic = new Bicubic(xs, ys, z)
-        bicubic(x, y)
-      case "spline_bilinear" => splineLinear(x, y)
-      case _ => sepEval(x, y)
-    }
+    if (fit == null) Double.NaN
+    else fit.eval(row.getDouble(1), row.getDouble(2))
   }
+}
 
-  private def rebuild(wi: Int, wj: Int, cells: Seq[Row]): Boolean = {
-    var i = 0
-    while (i < n) {
-      xs(i) = xFront + (wi + i) * xStep
-      ys(i) = yFront + (wj + i) * yStep
-      i += 1
-    }
-    val zz = Array.ofDim[Double](n, n)
-    val filled = Array.ofDim[Boolean](n, n)
-    var cnt = 0
-    val it = cells.iterator
-    while (it.hasNext) {
-      val c = it.next()
-      val di = c.getInt(0)
-      val dj = c.getInt(1)
-      if (!filled(di)(dj)) { filled(di)(dj) = true; cnt += 1 }
-      zz(di)(dj) = c.getDouble(2)
-    }
-    z = zz
-    bicubic = null
-    sepFitsValid = false
-    cnt == n * n
+/** One assembled (2·halfWindow)² window's kernel: the SAME evaluation as
+  * [[BivariateKernel]] — lazily-built [[graft.core.Bicubic]], per-row
+  * separable [[graft.core.Univariate1D]] fits, or cspline
+  * (spline_bilinear) — over a fixed window. Shared by the 2-D and 3-D
+  * grid-as-table evaluators (the 3-D path holds one per bracketing
+  * z-plane).
+  */
+private[operators] final class WindowFit(method: String, n: Int,
+    xs: Array[Double], ys: Array[Double], z: Array[Array[Double]]) {
+  private var bicubic: Bicubic = null
+  private var rowFits: Array[graft.core.Univariate1D] = null
+  private var rowOk: Array[Boolean] = null
+  private var sepFitsValid = false
+  private lazy val uniY = graft.core.Univariate1D(method)
+  private val sepTmp = new Array[Double](n)
+
+  def eval(x: Double, y: Double): Double = method match {
+    case "bicubic" =>
+      if (bicubic == null) bicubic = new Bicubic(xs, ys, z)
+      bicubic(x, y)
+    case "spline_bilinear" => splineLinear(x, y)
+    case _ => sepEval(x, y)
   }
 
   /** Mirror of [[BivariateKernel]].windowedSeparable: fit along x per
-    * window row (cached until the window changes), evaluate, fit along y.
+    * window row (cached for the window's lifetime), evaluate, fit along y.
     */
   private def sepEval(x: Double, y: Double): Double = {
     if (!sepFitsValid) {
-      if (rowFits == null) {
-        rowFits = Array.fill(n)(graft.core.Univariate1D(method))
-        rowOk = new Array[Boolean](n)
-      }
+      rowFits = Array.fill(n)(graft.core.Univariate1D(method))
+      rowOk = new Array[Boolean](n)
       var j = 0
       while (j < n) {
         val colv = new Array[Double](n)
@@ -918,5 +1013,99 @@ private[operators] final class WindowedTableEvaluator(
       j += 1
     }
     Interpolate.cspline(ys, tmp, y)
+  }
+}
+
+private[operators] object WindowFit {
+  /** Assemble a window from (di, dj[, dk], value) corner-join rows.
+    * When `planeOf` is null the rows are 2-D (di, dj, z) triples; with
+    * `planeOf >= 0` the rows are (di, dj, dk, z) and only entries with
+    * dk == planeOf are taken. Returns null for an incomplete window
+    * (missing / masked lattice cell — boundary `undef` semantics).
+    */
+  def build(method: String, n: Int, wi: Int, wj: Int,
+            xFront: Double, xStep: Double, yFront: Double, yStep: Double,
+            cells: Seq[Row], planeOf: java.lang.Integer): WindowFit = {
+    val xs = Array.tabulate(n)(i => xFront + (wi + i) * xStep)
+    val ys = Array.tabulate(n)(j => yFront + (wj + j) * yStep)
+    val zz = Array.ofDim[Double](n, n)
+    val filled = Array.ofDim[Boolean](n, n)
+    var cnt = 0
+    val three = planeOf == null
+    val it = cells.iterator
+    while (it.hasNext) {
+      val c = it.next()
+      val take = three || c.getInt(2) == planeOf.intValue()
+      if (take) {
+        val di = c.getInt(0)
+        val dj = c.getInt(1)
+        if (!filled(di)(dj)) { filled(di)(dj) = true; cnt += 1 }
+        zz(di)(dj) = c.getDouble(if (three) 2 else 3)
+      }
+    }
+    if (cnt == n * n) new WindowFit(method, n, xs, ys, zz) else null
+  }
+}
+
+/** Streaming evaluation stage of
+  * [[GridInterpolator.trivariateTableWindowed]]: rebuilds the two
+  * z-bracketing (2·halfWindow)² windows per probe from the corner-join
+  * rows, evaluates each with [[WindowFit]] (the broadcast path's
+  * kernels), and combines along z (linear or nearest). Input sorted by
+  * (_wi, _wj, _k0), so runs of probes sharing the window pair reuse both
+  * fits. Rows: (_rid, _x, _y, _tz, _wi, _wj, _k0, _cells).
+  */
+private[operators] final class WindowedTableEvaluator3D(
+    in: Iterator[Row], method: String, zMethod: String, halfWindow: Int,
+    xFront: Double, xStep: Double, yFront: Double, yStep: Double)
+    extends Iterator[Row] {
+  private val n = 2 * halfWindow
+  private var lastWi = Int.MinValue
+  private var lastWj = Int.MinValue
+  private var lastK0 = Int.MinValue
+  private var built = false
+  private var fit0: WindowFit = null
+  private var fit1: WindowFit = null
+
+  override def hasNext: Boolean = in.hasNext
+
+  override def next(): Row = {
+    val row = in.next()
+    Row(row.getLong(0), eval(row))
+  }
+
+  private def eval(row: Row): Double = {
+    if (row.isNullAt(7)) return Double.NaN
+    val wi = row.getInt(4)
+    val wj = row.getInt(5)
+    val k0 = row.getInt(6)
+    if (wi != lastWi || wj != lastWj || k0 != lastK0 || !built) {
+      lastWi = wi; lastWj = wj; lastK0 = k0
+      built = true
+      val cells = row.getSeq[Row](7)
+      fit0 = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront,
+        yStep, cells, planeOf = 0)
+      fit1 = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront,
+        yStep, cells, planeOf = 1)
+    }
+    val x = row.getDouble(1)
+    val y = row.getDouble(2)
+    val t = row.getDouble(3)
+    zMethod match {
+      case "nearest" =>
+        val f = if (t <= 0.5) fit0 else fit1
+        if (f == null) Double.NaN else f.eval(x, y)
+      case _ =>
+        // exact-plane probes (t = 0) only need their own plane — matching
+        // the broadcast path, where findIndexes collapses the bracket
+        if (t == 0.0) {
+          if (fit0 == null) Double.NaN else fit0.eval(x, y)
+        } else if (fit0 == null || fit1 == null) Double.NaN
+        else {
+          val v0 = fit0.eval(x, y)
+          val v1 = fit1.eval(x, y)
+          v0 + t * (v1 - v0)
+        }
+    }
   }
 }

@@ -183,6 +183,61 @@ class IngestionSpec extends AnyFunSuite {
     }
   }
 
+  test("trivariateTableWindowed ≡ broadcast; nearest combine; NaN faces") {
+    // 3-D table path: windowed bicubic in-plane on the two z-bracketing
+    // planes + linear/nearest z combine. Probes at exact half-z steps
+    // make the combine weight identical on both paths, so agreement is
+    // exact; a random-z sweep is checked to 1e-12 (the combine weight is
+    // computed as (z-z0)/(z1-z0) broadcast-side vs fz-k0 table-side).
+    val nn = 15
+    val nz = 4
+    val gridTable = spark.range(nn.toLong * nn * nz).select(
+      floor(col("id") / (nn * nz)).cast("double").as("lon"),
+      (floor(col("id") / nz) % nn).cast("double").as("lat"),
+      (col("id") % nz).cast("double").as("z"),
+      ((floor(col("id") / (nn * nz)) * 13 + (floor(col("id") / nz) % nn) * 7
+        + (col("id") % nz) * 5) % 31).cast("double").as("sst"))
+    val halfZ = ((0 until 200).map { k =>
+      val x = (k * 37 % 170) / 10.0 - 1.0
+      val y = (k * 53 % 170) / 10.0 - 1.0
+      val z = (k % 6) + 0.5 // incl. out-of-range z
+      (k.toLong, x, y, z)
+    } ++ Seq(
+      (1000L, 7.0, 7.0, 2.0),   // exact z node: only its plane needed
+      (1001L, 7.0, 7.0, 1.25))) // random combine weight
+      .toDF("qid", "x", "y", "zq")
+    val g3 = {
+      val v = new Array[Double](nn * nn * nz)
+      for (i <- 0 until nn; j <- 0 until nn; k <- 0 until nz)
+        v(i * nn * nz + j * nz + k) = ((i * 13 + j * 7 + k * 5) % 31).toDouble
+      Grid3D(graft.core.Axis.regular(0.0, nn - 1.0, nn), graft.core.Axis.regular(0.0, nn - 1.0, nn),
+        graft.core.Axis.regular(0.0, nz - 1.0, nz), v)
+    }
+    for (zm <- Seq("linear", "nearest")) {
+      val viaTable = GridInterpolator
+        .trivariateTableWindowed(spark, halfZ, "x", "y", "zq", gridTable,
+          "bicubic", zMethod = zm)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaBroadcast = GridInterpolator
+        .trivariate(spark, halfZ, "x", "y", "zq", g3, "bicubic",
+          zMethod = zm)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaTable.keySet === viaBroadcast.keySet)
+      var nans = 0
+      viaTable.foreach { case (qid, v) =>
+        val b = viaBroadcast(qid)
+        if (v.isNaN || b.isNaN) {
+          assert(v.isNaN === b.isNaN, s"$zm qid $qid: $v vs $b"); nans += 1
+        } else assert(math.abs(v - b) <= 1e-12, s"$zm qid $qid: $v vs $b")
+      }
+      assert(nans > 0, s"$zm fixture must exercise NaN (z out of range)")
+      assert(!viaTable(1000L).isNaN && !viaTable(1001L).isNaN)
+      assert(viaTable.values.exists(v => !v.isNaN))
+    }
+  }
+
   test("state serialization round-trips (KdTree, Grid2D, TemporalAxis)") {
     def rt[T <: Serializable](v: T): T = {
       val bos = new java.io.ByteArrayOutputStream()
