@@ -393,6 +393,24 @@ object SparkEntry {
     s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
   }
 
+  /** 4-D mid-stencil oracle: the 6x6 weights on all FOUR (z, u) planes,
+    * averaged — half-step z and u make the bilinear combine an exact
+    * 4-way 0.25 mix.
+    */
+  def midStencil4dSql(w: Array[Array[Double]]): String = {
+    def f(a: Int, b: Int, dk: Int, dl: Int) =
+      s"CAST(((o_orderkey % 34 + 1 + $a) * 31 + " +
+        s"(o_orderkey * 7 % 34 + 1 + $b) * 17 + " +
+        s"(o_orderkey % 2 + $dk) * 7 + (o_orderkey * 3 % 2 + $dl) * 3)" +
+        s" % 97 AS DOUBLE)"
+    val terms = (for (a <- 0 until 6; b <- 0 until 6
+        if math.abs(w(a)(b)) > 1e-18) yield
+      s"(${w(a)(b)}) * 0.25 * (${f(a, b, 0, 0)} + ${f(a, b, 0, 1)} + " +
+        s"${f(a, b, 1, 0)} + ${f(a, b, 1, 1)})")
+      .mkString(" + ")
+    s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
+  }
+
   /** 3-D mid-stencil oracle: the same constant 6x6 weights applied to
     * BOTH z-bracketing planes of the modular lattice, averaged — the
     * half-z-step probe makes the linear combine an exact 0.5/0.5 mix.
@@ -857,6 +875,51 @@ object SparkEntry {
         ((col("o_orderkey") % 4).cast("double") + 0.5).as("zq"))
       GridInterpolator.trivariateTableWindowed(s, probe, "x", "y", "zq",
           gridTable, "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+    "q_quadrilinear_biggrid" -> ((s, dir) => {
+      // 4-D grid-as-table: 16-corner join over a 21x21x3x3 lattice;
+      // half-cell probes in ALL four dimensions make every corner weight
+      // exactly 1/16 — fp-exact in any summation order
+      val gridTable = s.range(21L * 21L * 3L * 3L).select(
+        floor(col("id") / 189).cast("double").as("lon"),
+        (floor(col("id") / 9) % 21).cast("double").as("lat"),
+        (floor(col("id") / 3) % 3).cast("double").as("z"),
+        (col("id") % 3).cast("double").as("u"),
+        ((floor(col("id") / 189) * 31 + (floor(col("id") / 9) % 21) * 17 +
+          (floor(col("id") / 3) % 3) * 7 + (col("id") % 3) * 3) % 53)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 20).cast("double") + 0.5).as("x"),
+        ((col("o_orderkey") * 7 % 20).cast("double") + 0.5).as("y"),
+        ((col("o_orderkey") % 2).cast("double") + 0.5).as("zq"),
+        ((col("o_orderkey") * 3 % 2).cast("double") + 0.5).as("uq"))
+      GridInterpolator.quadrivariateTable(s, probe, "x", "y", "zq", "uq",
+          gridTable, uColName = "u")
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
+    "q_bicubic4d_biggrid" -> ((s, dir) => {
+      // 4-D WINDOWED grid-as-table: bicubic in-plane on the FOUR
+      // (z, u)-bracketing planes of a 41x41x3x3 lattice, bilinear
+      // combine — half-step z/u probes make the plane mix an exact
+      // 4-way average, so the constant 6x6 stencil closes the oracle
+      val gridTable = s.range(41L * 41L * 3L * 3L).select(
+        floor(col("id") / 369).cast("double").as("lon"),
+        (floor(col("id") / 9) % 41).cast("double").as("lat"),
+        (floor(col("id") / 3) % 3).cast("double").as("z"),
+        (col("id") % 3).cast("double").as("u"),
+        ((floor(col("id") / 369) * 31 + (floor(col("id") / 9) % 41) * 17 +
+          (floor(col("id") / 3) % 3) * 7 + (col("id") % 3) * 3) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").plus(0.5).as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"),
+        ((col("o_orderkey") % 2).cast("double") + 0.5).as("zq"),
+        ((col("o_orderkey") * 3 % 2).cast("double") + 0.5).as("uq"))
+      GridInterpolator.quadrivariateTableWindowed(s, probe, "x", "y", "zq",
+          "uq", gridTable, "bicubic", uColName = "u")
         .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
     "q_bicubic_grid" -> ((s, dir) => {
@@ -1917,6 +1980,22 @@ object SparkEntry {
 
       "q_bicubic3d_biggrid" ->
         SparkEntry.midStencil3dSql(SparkEntry.bicubicMidStencil),
+
+      // 16-corner quadrilinear at half-cell offsets: exact 1/16 weights
+      "q_quadrilinear_biggrid" -> {
+        val corners = for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1;
+            dl <- 0 to 1) yield
+          s"CAST(((o_orderkey % 20 + $di) * 31 + " +
+            s"(o_orderkey * 7 % 20 + $dj) * 17 + " +
+            s"(o_orderkey % 2 + $dk) * 7 + (o_orderkey * 3 % 2 + $dl) * 3)" +
+            s" % 53 AS DOUBLE)"
+        s"""SELECT o_orderkey,
+           | round(0.0625 * (${corners.mkString(" + ")}), 9) AS interp
+           |FROM orders""".stripMargin.replace("\n", " ")
+      },
+
+      "q_bicubic4d_biggrid" ->
+        SparkEntry.midStencil4dSql(SparkEntry.bicubicMidStencil),
 
       "q_bicubic_nodes" ->
         """SELECT o_orderkey,

@@ -533,6 +533,225 @@ object GridInterpolator {
       .drop("_rid", "_v")
   }
 
+  /** Axis-role + value-column resolution for the 4-D grid-as-table paths:
+    * lon/lat from CF/name heuristics, z from `zColName` (or the time
+    * role), u from `uColName` (the 4th axis has no universal naming
+    * convention — callers must name it), value = the remaining column.
+    */
+  private def resolveGrid4dTable(gridTable: DataFrame, zColName: String,
+                                 uColName: String, valueCol: String,
+                                 caller: String)
+      : (String, String, String, String, String, Axis, Axis, Axis, Axis) = {
+    import graft.sources.GridLoader
+    val roles = GridLoader.identifyAxes(gridTable)
+    val lonCol = roles.lon.getOrElse(
+      throw new IllegalArgumentException("no longitude/x axis identified"))
+    val latCol = roles.lat.getOrElse(
+      throw new IllegalArgumentException("no latitude/y axis identified"))
+    val zName =
+      if (zColName.nonEmpty) zColName
+      else roles.time.getOrElse(
+        throw new IllegalArgumentException("no time/z axis identified"))
+    require(uColName.nonEmpty,
+      s"$caller: name the 4th axis column via uColName")
+    val vCol =
+      if (valueCol.nonEmpty) valueCol
+      else gridTable.schema.fields.map(_.name)
+        .filterNot(n => n == lonCol || n == latCol || n == zName ||
+          n == uColName).headOption
+        .getOrElse(throw new IllegalArgumentException("no value column"))
+    val axes = GridLoader.axesOf(gridTable,
+      Seq(lonCol, latCol, zName, uColName))
+    require(axes.forall(a => a.isRegular && a.size >= 2 && !a.isPeriodic &&
+      a.front < a.back),
+      s"$caller requires regular ascending non-periodic axes")
+    (lonCol, latCol, zName, uColName, vCol, axes(0), axes(1), axes(2),
+      axes(3))
+  }
+
+  /** 4-D grid-as-table QUADRILINEAR interpolation: [[trivariateTable]]'s
+    * corner join extended to the 16 bracketing lattice corners (the
+    * geometric quadrivariate semantics,
+    * `pybind/geometric/quadrivariate.hpp`). The lattice never leaves the
+    * cluster.
+    */
+  def quadrivariateTable(spark: SparkSession, probe: DataFrame,
+                         xCol: String, yCol: String, zCol: String,
+                         uCol: String, gridTable: DataFrame,
+                         zColName: String = "", uColName: String = "",
+                         valueCol: String = "",
+                         outputCol: String = "value"): DataFrame = {
+    val (lonCol, latCol, zName, uName, vCol, xAxis, yAxis, zAxis, uAxis) =
+      resolveGrid4dTable(gridTable, zColName, uColName, valueCol,
+        "quadrivariateTable")
+    val cells = gridTable.select(
+      round((col(lonCol).cast("double") - lit(xAxis.front)) /
+        lit(xAxis.step)).cast("int").as("_ci"),
+      round((col(latCol).cast("double") - lit(yAxis.front)) /
+        lit(yAxis.step)).cast("int").as("_cj"),
+      round((col(zName).cast("double") - lit(zAxis.front)) /
+        lit(zAxis.step)).cast("int").as("_ck"),
+      round((col(uName).cast("double") - lit(uAxis.front)) /
+        lit(uAxis.step)).cast("int").as("_cl"),
+      col(vCol).cast("double").as("_z"))
+    val withId = withStableId(probe)
+    def frac(c: String, a: Axis) =
+      (col(c).cast("double") - lit(a.front)) / lit(a.step)
+    val p = withId
+      .withColumn("_fx", frac(xCol, xAxis))
+      .withColumn("_fy", frac(yCol, yAxis))
+      .withColumn("_fz", frac(zCol, zAxis))
+      .withColumn("_fu", frac(uCol, uAxis))
+      .withColumn("_i0",
+        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_j0",
+        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+      .withColumn("_k0",
+        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+      .withColumn("_l0",
+        least(floor(col("_fu")).cast("int"), lit(uAxis.size - 2)))
+      .withColumn("_tx", col("_fx") - col("_i0"))
+      .withColumn("_ty", col("_fy") - col("_j0"))
+      .withColumn("_tz", col("_fz") - col("_k0"))
+      .withColumn("_tu", col("_fu") - col("_l0"))
+      .filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
+        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
+        col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble))
+    val cornerStructs =
+      for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1; dl <- 0 to 1) yield {
+        def w(t: org.apache.spark.sql.Column, d: Int) =
+          if (d == 1) t else lit(1.0) - t
+        struct((col("_i0") + di).as("_ci"), (col("_j0") + dj).as("_cj"),
+          (col("_k0") + dk).as("_ck"), (col("_l0") + dl).as("_cl"),
+          (w(col("_tx"), di) * w(col("_ty"), dj) * w(col("_tz"), dk) *
+            w(col("_tu"), dl)).as("_w"))
+      }
+    val corners = p.select(col("_rid"),
+        explode(array(cornerStructs: _*)).as("_c"))
+      .select(col("_rid"), col("_c._ci").as("_ci"), col("_c._cj").as("_cj"),
+        col("_c._ck").as("_ck"), col("_c._cl").as("_cl"),
+        col("_c._w").as("_w"))
+    val agg = corners.join(cells, Seq("_ci", "_cj", "_ck", "_cl"))
+      .groupBy("_rid")
+      .agg(sum(col("_w") * col("_z")).as("_v"), count(lit(1)).as("_n"))
+      .select(col("_rid"),
+        when(col("_n") === 16, col("_v")).otherwise(lit(Double.NaN))
+          .as("_v"))
+    withId.join(agg, Seq("_rid"), "left")
+      .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
+      .drop("_rid", "_v")
+  }
+
+  /** 4-D grid-as-table WINDOWED interpolation: windowed bicubic/spline in
+    * the (x, y) plane on the FOUR (z, u)-bracketing planes, then bilinear
+    * (or nearest per axis) combine across (z, u) — the
+    * `pybind/windowed/quadrivariate.hpp` semantics for lattices above the
+    * broadcast gate. The stencil join ships 4·(2·halfWindow)² corner rows
+    * per framed probe; plane identity is encoded as _dp = dk·2 + dl so
+    * the reassembly and [[WindowFit]] machinery are shared with the 3-D
+    * path. Exact-node brackets (t = 0) only require their own plane(s).
+    */
+  def quadrivariateTableWindowed(spark: SparkSession, probe: DataFrame,
+                                 xCol: String, yCol: String, zCol: String,
+                                 uCol: String, gridTable: DataFrame,
+                                 method: String = "bicubic",
+                                 zMethod: String = "linear",
+                                 uMethod: String = "linear",
+                                 halfWindow: Int = 3,
+                                 zColName: String = "", uColName: String = "",
+                                 valueCol: String = "",
+                                 outputCol: String = "value"): DataFrame = {
+    require(!geometricMethods.contains(method),
+      s"method $method is geometric — use quadrivariateTable")
+    require(halfWindow >= 1, "halfWindow must be >= 1")
+    val n = 2 * halfWindow
+    val (lonCol, latCol, zName, uName, vCol, xAxis, yAxis, zAxis, uAxis) =
+      resolveGrid4dTable(gridTable, zColName, uColName, valueCol,
+        "quadrivariateTableWindowed")
+    require(xAxis.size >= n && yAxis.size >= n,
+      "quadrivariateTableWindowed requires >= 2*halfWindow nodes per " +
+        "plane axis")
+    val cells = gridTable.select(
+      round((col(lonCol).cast("double") - lit(xAxis.front)) /
+        lit(xAxis.step)).cast("int").as("_ci"),
+      round((col(latCol).cast("double") - lit(yAxis.front)) /
+        lit(yAxis.step)).cast("int").as("_cj"),
+      round((col(zName).cast("double") - lit(zAxis.front)) /
+        lit(zAxis.step)).cast("int").as("_ck"),
+      round((col(uName).cast("double") - lit(uAxis.front)) /
+        lit(uAxis.step)).cast("int").as("_cl"),
+      col(vCol).cast("double").as("_z"))
+    val withId = withStableId(probe)
+    def frac(c: String, a: Axis) =
+      (col(c).cast("double") - lit(a.front)) / lit(a.step)
+    val p = withId
+      .withColumn("_fx", frac(xCol, xAxis))
+      .withColumn("_fy", frac(yCol, yAxis))
+      .withColumn("_fz", frac(zCol, zAxis))
+      .withColumn("_fu", frac(uCol, uAxis))
+      .withColumn("_i0",
+        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_j0",
+        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+      .withColumn("_k0",
+        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+      .withColumn("_l0",
+        least(floor(col("_fu")).cast("int"), lit(uAxis.size - 2)))
+      .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
+      .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
+      .withColumn("_tz", col("_fz") - col("_k0"))
+      .withColumn("_tu", col("_fu") - col("_l0"))
+      .filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
+        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
+        col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble) &&
+        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(xAxis.size - 1) &&
+        col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1))
+    val offsets =
+      for (di <- 0 until n; dj <- 0 until n; dk <- 0 to 1; dl <- 0 to 1)
+        yield struct(lit(di).as("_di"), lit(dj).as("_dj"),
+          lit(dk).as("_dk"), lit(dl).as("_dl"))
+    val corners = p.select(col("_rid"), col("_wi"), col("_wj"), col("_k0"),
+        col("_l0"), explode(array(offsets: _*)).as("_d"))
+      .select(col("_rid"),
+        (col("_wi") + col("_d._di")).as("_ci"),
+        (col("_wj") + col("_d._dj")).as("_cj"),
+        (col("_k0") + col("_d._dk")).as("_ck"),
+        (col("_l0") + col("_d._dl")).as("_cl"),
+        col("_d._di").as("_di"), col("_d._dj").as("_dj"),
+        (col("_d._dk") * 2 + col("_d._dl")).as("_dp"))
+    val agg = corners.join(cells, Seq("_ci", "_cj", "_ck", "_cl"))
+      .groupBy("_rid")
+      .agg(collect_list(struct(col("_di"), col("_dj"), col("_dp"),
+        col("_z"))).as("_cells"))
+    val evalIn = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"), col("_tz"), col("_tu"),
+        col("_wi"), col("_wj"), col("_k0"), col("_l0"))
+      .join(agg, Seq("_rid"), "left")
+      .sortWithinPartitions("_wi", "_wj", "_k0", "_l0")
+    val outSchema = StructType(Seq(
+      StructField("_rid", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("_v", DoubleType, nullable = false)))
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val hw = halfWindow
+    val m = method
+    val zm = zMethod
+    val um = uMethod
+    val xf = xAxis.front; val xst = xAxis.step
+    val yf = yAxis.front; val yst = yAxis.step
+    val vals = evalIn.mapPartitions { iter =>
+      new WindowedTableEvaluator4D(iter, m, zm, um, hw, xf, xst, yf, yst)
+    }(enc)
+    withId.join(vals, Seq("_rid"), "left")
+      .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
+      .drop("_rid", "_v")
+  }
+
   /** Univariate interpolation / derivative over a broadcast 1-D grid —
     * the `pyinterp.univariate` / `univariate_derivative` entry points
     * (`regular_grid_interpolator.py` univariate path): the chosen
@@ -1107,5 +1326,79 @@ private[operators] final class WindowedTableEvaluator3D(
           v0 + t * (v1 - v0)
         }
     }
+  }
+}
+
+/** Streaming evaluation stage of
+  * [[GridInterpolator.quadrivariateTableWindowed]]: four (z, u)-plane
+  * [[WindowFit]]s (plane id _dp = dk·2 + dl), bilinear / per-axis nearest
+  * combine across (tz, tu); a plane is only required when its combine
+  * weight is nonzero. Rows:
+  * (_rid, _x, _y, _tz, _tu, _wi, _wj, _k0, _l0, _cells).
+  */
+private[operators] final class WindowedTableEvaluator4D(
+    in: Iterator[Row], method: String, zMethod: String, uMethod: String,
+    halfWindow: Int, xFront: Double, xStep: Double, yFront: Double,
+    yStep: Double) extends Iterator[Row] {
+  private val n = 2 * halfWindow
+  private var lastWi = Int.MinValue
+  private var lastWj = Int.MinValue
+  private var lastK0 = Int.MinValue
+  private var lastL0 = Int.MinValue
+  private var built = false
+  private val fits = new Array[WindowFit](4)
+
+  override def hasNext: Boolean = in.hasNext
+
+  override def next(): Row = {
+    val row = in.next()
+    Row(row.getLong(0), eval(row))
+  }
+
+  private def eval(row: Row): Double = {
+    if (row.isNullAt(9)) return Double.NaN
+    val wi = row.getInt(5)
+    val wj = row.getInt(6)
+    val k0 = row.getInt(7)
+    val l0 = row.getInt(8)
+    if (wi != lastWi || wj != lastWj || k0 != lastK0 || l0 != lastL0 ||
+        !built) {
+      lastWi = wi; lastWj = wj; lastK0 = k0; lastL0 = l0
+      built = true
+      val cells = row.getSeq[Row](9)
+      var p = 0
+      while (p < 4) {
+        fits(p) = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront,
+          yStep, cells, planeOf = p)
+        p += 1
+      }
+    }
+    val x = row.getDouble(1)
+    val y = row.getDouble(2)
+    val tz = row.getDouble(3)
+    val tu = row.getDouble(4)
+    // per-axis combine weights (nearest snaps to 0/1)
+    def weights(t: Double, m: String): (Double, Double) = m match {
+      case "nearest" => if (t <= 0.5) (1.0, 0.0) else (0.0, 1.0)
+      case _ => (1.0 - t, t)
+    }
+    val (wz0, wz1) = weights(tz, zMethod)
+    val (wu0, wu1) = weights(tu, uMethod)
+    var acc = 0.0
+    var dk = 0
+    while (dk < 2) {
+      var dl = 0
+      while (dl < 2) {
+        val w = (if (dk == 0) wz0 else wz1) * (if (dl == 0) wu0 else wu1)
+        if (w != 0.0) {
+          val f = fits(dk * 2 + dl)
+          if (f == null) return Double.NaN
+          acc += w * f.eval(x, y)
+        }
+        dl += 1
+      }
+      dk += 1
+    }
+    acc
   }
 }

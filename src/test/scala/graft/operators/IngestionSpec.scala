@@ -238,6 +238,69 @@ class IngestionSpec extends AnyFunSuite {
     }
   }
 
+  test("quadrivariateTable + Windowed ≡ broadcast quadrivariate") {
+    // 4-D lattice 15x15x3x3, modular field; both the 16-corner geometric
+    // path and the 4-plane windowed path must agree with the broadcast
+    // Grid4D interpolator, including NaN faces (out-of-range z/u)
+    val nn = 15; val nz = 3; val nu = 3
+    val gridTable = spark.range(nn.toLong * nn * nz * nu).select(
+      floor(col("id") / (nn * nz * nu)).cast("double").as("lon"),
+      (floor(col("id") / (nz * nu)) % nn).cast("double").as("lat"),
+      (floor(col("id") / nu) % nz).cast("double").as("z"),
+      (col("id") % nu).cast("double").as("u"),
+      ((floor(col("id") / (nn * nz * nu)) * 13 +
+        (floor(col("id") / (nz * nu)) % nn) * 7 +
+        (floor(col("id") / nu) % nz) * 5 + (col("id") % nu) * 3) % 31)
+        .cast("double").as("sst"))
+    val probes = ((0 until 150).map { k =>
+      val x = (k * 37 % 170) / 10.0 - 1.0
+      val y = (k * 53 % 170) / 10.0 - 1.0
+      val z = (k % 4) * 0.75          // 0 .. 2.25 (incl. out-of-range)
+      val u = ((k * 3) % 4) * 0.75
+      (k.toLong, x, y, z, u)
+    } ++ Seq((1000L, 7.0, 7.0, 1.0, 1.5), // exact z node, mid u
+      (1001L, 7.25, 6.5, 0.5, 0.5))).toDF("qid", "x", "y", "zq", "uq")
+    val g4 = {
+      val v = new Array[Double](nn * nn * nz * nu)
+      for (i <- 0 until nn; j <- 0 until nn; k <- 0 until nz;
+           l <- 0 until nu)
+        v(((i * nn + j) * nz + k) * nu + l) =
+          ((i * 13 + j * 7 + k * 5 + l * 3) % 31).toDouble
+      Grid4D(graft.core.Axis.regular(0.0, nn - 1.0, nn),
+        graft.core.Axis.regular(0.0, nn - 1.0, nn),
+        graft.core.Axis.regular(0.0, nz - 1.0, nz),
+        graft.core.Axis.regular(0.0, nu - 1.0, nu), v)
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def check(viaTable: Map[Long, Double], viaBroadcast: Map[Long, Double],
+              tag: String): Unit = {
+      assert(viaTable.keySet === viaBroadcast.keySet)
+      var nans = 0
+      viaTable.foreach { case (qid, v) =>
+        val b = viaBroadcast(qid)
+        if (v.isNaN || b.isNaN) {
+          assert(v.isNaN === b.isNaN, s"$tag qid $qid: $v vs $b"); nans += 1
+        } else assert(math.abs(v - b) <= 1e-12, s"$tag qid $qid: $v vs $b")
+      }
+      assert(nans > 0, s"$tag fixture must exercise NaN rows")
+      assert(viaTable.values.exists(v => !v.isNaN))
+    }
+    check(
+      toMap(GridInterpolator.quadrivariateTable(spark, probes, "x", "y",
+        "zq", "uq", gridTable, uColName = "u")),
+      toMap(QuadrivariateInterpolator.quadrivariate(spark, probes, "x", "y", "zq",
+        "uq", g4, "bilinear")),
+      "quadrilinear")
+    check(
+      toMap(GridInterpolator.quadrivariateTableWindowed(spark, probes, "x",
+        "y", "zq", "uq", gridTable, "bicubic", uColName = "u")),
+      toMap(QuadrivariateInterpolator.quadrivariate(spark, probes, "x", "y", "zq",
+        "uq", g4, "bicubic")),
+      "windowed4d")
+  }
+
   test("state serialization round-trips (KdTree, Grid2D, TemporalAxis)") {
     def rt[T <: Serializable](v: T): T = {
       val bos = new java.io.ByteArrayOutputStream()
