@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.core.Axis
-import graft.operators.{Grid2D, Grid3D}
+import graft.operators.{Grid2D, Grid3D, Grid4D}
 
 /** CF-convention grid ingestion from long-format columnar tables — the
   * engine's analog of the reference's xarray backend
@@ -158,5 +158,51 @@ object GridLoader {
           vals((ix * ny + iy) * nz + iz) = r.getDouble(3)
       }
     Grid3D(xAxis, yAxis, zAxis, vals)
+  }
+
+  /** 4-D broadcastable grid from a table — the Grid4D analog of
+    * [[grid3d]]. The 4th axis has no universal naming convention, so
+    * `uColName` is required; z defaults to the time role. Same collect
+    * gate and NaN-for-missing-cell semantics; lattices above the gate
+    * belong on `GridInterpolator.quadrivariateTable[Windowed]`.
+    */
+  def grid4d(df: DataFrame, uColName: String, zColName: String = "",
+             valueCol: String = "",
+             maxCollectBytes: Long = DefaultMaxCollectBytes): Grid4D = {
+    gateCollect(df, maxCollectBytes, "GridLoader.grid4d")
+    val roles = identifyAxes(df)
+    val lonCol = roles.lon.getOrElse(
+      throw new IllegalArgumentException("no longitude/x axis identified"))
+    val latCol = roles.lat.getOrElse(
+      throw new IllegalArgumentException("no latitude/y axis identified"))
+    val zCol =
+      if (zColName.nonEmpty) zColName
+      else roles.time.getOrElse(
+        throw new IllegalArgumentException("no time/z axis identified"))
+    require(uColName.nonEmpty, "grid4d: name the 4th axis via uColName")
+    val vCol =
+      if (valueCol.nonEmpty) valueCol
+      else df.schema.fields.map(_.name)
+        .filterNot(n => n == lonCol || n == latCol || n == zCol ||
+          n == uColName).headOption
+        .getOrElse(throw new IllegalArgumentException("no value column"))
+    val Seq(xAxis, yAxis, zAxis, uAxis) =
+      axesOf(df, Seq(lonCol, latCol, zCol, uColName))
+    val ny = yAxis.size
+    val nz = zAxis.size
+    val nu = uAxis.size
+    val vals = Array.fill(xAxis.size * ny * nz * nu)(Double.NaN)
+    df.select(col(lonCol).cast("double"), col(latCol).cast("double"),
+        col(zCol).cast("double"), col(uColName).cast("double"),
+        col(vCol).cast("double"))
+      .collect().foreach { r =>
+        val ix = xAxis.findIndex(bounded = false, coordinate = r.getDouble(0))
+        val iy = yAxis.findIndex(bounded = false, coordinate = r.getDouble(1))
+        val iz = zAxis.findIndex(bounded = false, coordinate = r.getDouble(2))
+        val iu = uAxis.findIndex(bounded = false, coordinate = r.getDouble(3))
+        if (ix >= 0 && iy >= 0 && iz >= 0 && iu >= 0)
+          vals(((ix * ny + iy) * nz + iz) * nu + iu) = r.getDouble(4)
+      }
+    Grid4D(xAxis, yAxis, zAxis, uAxis, vals)
   }
 }

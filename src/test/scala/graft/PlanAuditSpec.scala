@@ -140,6 +140,20 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("3-D/4-D grid-as-table windowed paths: no grid collect either") {
+    for (q <- Seq("q_bicubic3d_biggrid", "q_quadrilinear_biggrid",
+        "q_bicubic4d_biggrid")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.split("Join").length >= 3, s"$q:\n" + p.take(3000))
+      assert(!p.contains("LocalTableScan"), s"$q lattice was collected:\n" +
+        p.take(3000))
+      assert(p.contains("Generate"), s"$q stencil explode missing:\n" +
+        p.take(3000))
+    }
+  }
+
   test("big-probe ANN carries no user broadcast hint (shuffle-join shape)") {
     // broadcastQueryBytes = 0 must produce a plan whose joins were chosen
     // by Catalyst, not forced by broadcast(): no ResolvedHint survives

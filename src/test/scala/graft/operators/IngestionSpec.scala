@@ -44,6 +44,18 @@ class IngestionSpec extends AnyFunSuite {
     assert(g(2, 1, 1) === 211.0)
   }
 
+  test("grid4d: explicit u axis; layout round-trips; missing -> NaN") {
+    val df = (for { i <- 0 until 3; j <- 0 until 3; k <- 0 until 2;
+        l <- 0 until 2 if !(i == 2 && j == 2 && k == 1 && l == 1) }
+      yield (i.toDouble, j.toDouble, k * 3600.0, l * 10.0,
+        (i * 1000 + j * 100 + k * 10 + l).toDouble))
+      .toDF("longitude", "latitude", "time", "level", "v")
+    val g = GridLoader.grid4d(df, uColName = "level")
+    assert(g.uAxis.size === 2 && g.uAxis(1) === 10.0)
+    assert(g(2, 1, 1, 1) === 2111.0)
+    assert(g(2, 2, 1, 1).isNaN) // the withheld cell
+  }
+
   test("temporal axis unit casts are exact, floor on downcast") {
     val ax = TemporalAxis(Array(-1500L, 0L, 999L, 2000L), "ms")
     val s = ax.cast("s")
