@@ -1640,6 +1640,29 @@ object SparkEntry {
         (n, math.round(filled(8 * size + 8) * 1000) / 1000.0)
       }.toDF("n", "center")
     }),
+    "q_fill_gs_biggrid" -> ((s, dir) => {
+      // DISTRIBUTED fill (grid-as-table): one 48x48 lattice relaxed as
+      // 3x3 blocks with 8-cell overlapping halos (restricted additive
+      // Schwarz; the lattice never sits in one task) — the fill-module
+      // analog of the biggrid interpolation queries. Harmonic boundary
+      // i + 2j -> the converged interior is exactly that plane, checked
+      // PER CELL (2304 rows); `filled` pins the mask round-trip.
+      val nn = 48
+      val iC = floor(col("id") / nn)
+      val jC = col("id") % nn
+      val grid = s.range(nn.toLong * nn).select(
+        iC.cast("double").as("x"), jC.cast("double").as("y"),
+        when(iC === 0 || jC === 0 || iC === nn - 1 || jC === nn - 1,
+          iC.cast("double") + jC.cast("double") * 2.0)
+          .otherwise(lit(Double.NaN)).as("v"))
+      graft.operators.FillTable.gaussSeidelTable(s, grid, "x", "y", "v",
+          blockSize = 16, haloWidth = 8, innerSweeps = 60,
+          maxSuperIterations = 60, epsilon = 1e-6)
+        .select(col("x").cast("int").as("ci"),
+          col("y").cast("int").as("cj"),
+          round(col("value"), 3).as("value"),
+          col("filled").cast("int").as("filled"))
+    }),
     "q_fill_multigrid" -> ((s, dir) => {
       // fill.multigrid on the same harmonic-plane fixture as gauss_seidel:
       // converged V-cycles reproduce the plane, center = 24 + n
@@ -1905,6 +1928,16 @@ object SparkEntry {
         """SELECT n_nationkey AS n,
           | CAST(24 + n_nationkey AS DOUBLE) AS center
           |FROM nation""".stripMargin.replace("\n", " "),
+
+      // distributed-fill plane oracle: every cell of the 48x48 lattice
+      // equals i + 2j (the boundary data is harmonic), interior = filled
+      "q_fill_gs_biggrid" ->
+        """SELECT CAST(i AS INT) AS ci, CAST(j AS INT) AS cj,
+          | round(CAST(i + 2 * j AS DOUBLE), 3) AS value,
+          | CAST(CASE WHEN i > 0 AND j > 0 AND i < 47 AND j < 47
+          |   THEN 1 ELSE 0 END AS INT) AS filled
+          |FROM range(0, 48) ti(i), range(0, 48) tj(j)"""
+          .stripMargin.replace("\n", " "),
 
       "q_fill_multigrid" ->
         """SELECT n_nationkey AS n,

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed gap filling over a lattice held AS A TABLE — the
+  * `fill.gauss_seidel` semantics (reference `fill/gauss_seidel.hpp`,
+  * red-black SOR on the 5-point Laplace stencil) for grids above the
+  * broadcast gate, completing the big-grid story of the fill module the
+  * same way the grid-as-table joins completed interpolation.
+  *
+  * Plan (block-synchronous multisplitting — block-Jacobi across tiles,
+  * red-black Gauss-Seidel inside each tile):
+  *  - every cell gets a (bi, bj) = (ci/B, cj/B) tile id;
+  *  - per super-iteration, cells bordering a tile edge are replicated to
+  *    the adjacent tile as HALO rows (≤ 4·B + O(1) rows per B² tile —
+  *    perimeter, not area; the periodic-x seam wraps), one shuffle
+  *    groups each tile with its halo, and `innerSweeps` red-black SOR
+  *    passes run in-core per tile with halo values held fixed (Dirichlet
+  *    from the neighbors' previous state);
+  *  - the emitted home cells are the next iteration's state, pinned with
+  *    `localCheckpoint` so the iterative lineage stays flat; the
+  *    iteration stops when the global max residual of the last inner
+  *    sweep drops under `epsilon` (one tiny agg per iteration over the
+  *    already-materialized state).
+  * The fixed point satisfies the same discrete Laplace equation as the
+  * in-core solver (holding converged neighbors fixed is a no-op at the
+  * fixed point), so converged answers agree — the harmonic-plane oracle
+  * checks that per cell.
+  *
+  * Boundary semantics mirror the core solver: non-periodic edges use the
+  * inward mirror neighbor (which lives in the SAME tile whenever
+  * B ≥ 2), periodic x wraps through the seam halo. Masked (NaN) cells
+  * relax; known cells are Dirichlet anchors; the first guess is the
+  * reference's zonal average (per-j-band mean of known values, 0 for
+  * empty bands).
+  */
+object FillTable {
+
+  final case class FillCell(ci: Int, cj: Int, z: Double, mask: Boolean,
+                            res: Double)
+
+  /** gridTable: (xCol, yCol, valueCol) rows of a REGULAR complete
+    * lattice, NaN (or absent — absent rows are holes too only if the
+    * lattice is dense in the table; absent rows are simply not filled)
+    * marking holes. Returns (xCol, yCol, value, filled) — `filled` true
+    * for relaxed cells.
+    */
+  def gaussSeidelTable(spark: SparkSession, gridTable: DataFrame,
+                       xCol: String, yCol: String, valueCol: String,
+                       blockSize: Int = 256, haloWidth: Int = 8,
+                       relaxation: Double = 1.0,
+                       innerSweeps: Int = 30, maxSuperIterations: Int = 200,
+                       epsilon: Double = 1e-6,
+                       periodicX: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(blockSize >= 2, "blockSize must be >= 2 (mirror neighbors)")
+    require(haloWidth >= 1 && haloWidth < blockSize,
+      "haloWidth must be in [1, blockSize)")
+    import graft.sources.GridLoader
+    val Seq(xAxis, yAxis) = GridLoader.axesOf(gridTable, Seq(xCol, yCol))
+    require(xAxis.isRegular && yAxis.isRegular && xAxis.front < xAxis.back &&
+      yAxis.front < yAxis.back,
+      "gaussSeidelTable requires regular ascending axes")
+    val nx = xAxis.size
+    val ny = yAxis.size
+    val b = blockSize
+    val omega = relaxation
+    val sweeps = innerSweeps
+    val perX = periodicX
+
+    val cells0 = gridTable.select(
+      round((col(xCol).cast("double") - lit(xAxis.front)) /
+        lit(xAxis.step)).cast("int").as("ci"),
+      round((col(yCol).cast("double") - lit(yAxis.front)) /
+        lit(yAxis.step)).cast("int").as("cj"),
+      col(valueCol).cast("double").as("z"))
+
+    // zonal-average first guess (reference fill/helpers.hpp:29-64): the
+    // per-j-band mean of known values, 0 for empty bands
+    val bandMean = cells0.groupBy("cj")
+      .agg(avg(when(!isnan(col("z")), col("z"))).as("bm"))
+    var state: Dataset[FillCell] = cells0.join(bandMean, Seq("cj"))
+      .select(col("ci"), col("cj"),
+        when(isnan(col("z")), coalesce(col("bm"), lit(0.0)))
+          .otherwise(col("z")).as("z"),
+        isnan(col("z")).as("mask"), lit(0.0).as("res"))
+      .as[FillCell]
+      .localCheckpoint()
+
+    var it = 0
+    var residual = Double.MaxValue
+    while (it < maxSuperIterations && residual > epsilon) {
+      val w = haloWidth
+      val next = state.flatMap { c =>
+          // home copy + halo replicas to every block whose w-wide overlap
+          // region contains this cell (restricted additive Schwarz —
+          // minimal-overlap block-Jacobi converges like 1 - O(w/b), so a
+          // few-cell overlap buys an order of magnitude fewer outer
+          // iterations; corners included because overlap cells relax too)
+          val bi = c.ci / b
+          val bj = c.cj / b
+          val nbx = (nx + b - 1) / b
+          val nby = (ny + b - 1) / b
+          var dbis: List[Int] = List(0)
+          if (c.ci % b < w && (bi > 0 || perX)) dbis ::= -1
+          if ((c.ci % b >= b - w || (perX && c.ci >= nx - w)) &&
+            (bi < nbx - 1 || perX)) dbis ::= 1
+          var dbjs: List[Int] = List(0)
+          if (c.cj % b < w && bj > 0) dbjs ::= -1
+          if (c.cj % b >= b - w && bj < nby - 1) dbjs ::= 1
+          for {
+            di <- dbis.iterator
+            dj <- dbjs.iterator
+          } yield {
+            val tbi =
+              if (perX) (bi + di + nbx) % nbx
+              else bi + di
+            (tbi, bj + dj, c, di != 0 || dj != 0)
+          }
+        }
+        .groupByKey { case (bi, bj, _, _) => (bi.toLong << 32) | (bj & 0xFFFFFFFFL) }
+        .flatMapGroups { (_, rows) =>
+          val cells = new java.util.HashMap[Long, Array[Double]]()
+          val home = scala.collection.mutable.ArrayBuffer.empty[FillCell]
+          val overlap = scala.collection.mutable.ArrayBuffer.empty[FillCell]
+          def key(i: Int, j: Int): Long = (i.toLong << 32) | (j & 0xFFFFFFFFL)
+          rows.foreach { case (_, _, c, isHalo) =>
+            cells.put(key(c.ci, c.cj), Array(c.z))
+            if (!isHalo) home += c
+            else if (c.mask) overlap += c
+          }
+          // red-black SOR on home masked cells, halo fixed
+          def look(i0: Int, j0: Int): Double = {
+            var i = i0
+            if (i < 0) i = if (perX) nx - 1 else 1
+            else if (i > nx - 1) i = if (perX) 0 else nx - 2
+            val j = if (j0 < 0) 1 else if (j0 > ny - 1) ny - 2 else j0
+            val v = cells.get(key(i, j))
+            if (v == null) Double.NaN else v(0)
+          }
+          // relax masked HOME cells and masked OVERLAP cells (RAS: the
+          // overlap relaxes for convergence, only home is emitted); the
+          // outermost overlap ring self-skips via its missing neighbors
+          val relaxable = (home.filter(_.mask) ++ overlap).toArray
+          var s = 0
+          while (s < sweeps) {
+            var rb = 0
+            while (rb < 2) {
+              var m = 0
+              while (m < relaxable.length) {
+                val c = relaxable(m)
+                if (((c.ci + c.cj) % 2) == rb) {
+                  val cur = cells.get(key(c.ci, c.cj))
+                  val n1 = look(c.ci - 1, c.cj)
+                  val n2 = look(c.ci + 1, c.cj)
+                  val n3 = look(c.ci, c.cj - 1)
+                  val n4 = look(c.ci, c.cj + 1)
+                  // a missing neighbor (sparse table) leaves the cell as-is
+                  if (!n1.isNaN && !n2.isNaN && !n3.isNaN && !n4.isNaN) {
+                    val r = (0.25 * (n1 + n2 + n3 + n4) - cur(0)) * omega
+                    cur(0) += r
+                  }
+                }
+                m += 1
+              }
+              rb += 1
+            }
+            s += 1
+          }
+          // residual = change over the WHOLE outer iteration (c.z is the
+          // incoming state): the last inner-sweep delta only measures
+          // LOCAL halo-fixed convergence and stalls long before the
+          // global fixed point
+          home.iterator.map { c =>
+            val z = cells.get(key(c.ci, c.cj))(0)
+            FillCell(c.ci, c.cj, z, c.mask,
+              if (c.mask) math.abs(z - c.z) else 0.0)
+          }
+        }
+        .localCheckpoint()
+      // the residual agg is one tiny extra job over materialized blocks;
+      // amortize it by checking every 4th iteration (and the first)
+      if (it % 4 == 0 || it == maxSuperIterations - 1)
+        residual = next.agg(max(col("res"))).head().getDouble(0)
+      state = next
+      it += 1
+    }
+
+    state.toDF()
+      .select(
+        (col("ci").cast("double") * xAxis.step + xAxis.front).as(xCol),
+        (col("cj").cast("double") * yAxis.step + yAxis.front).as(yCol),
+        col("z").as("value"), col("mask").as("filled"))
+  }
+}
