@@ -1663,6 +1663,27 @@ object SparkEntry {
           round(col("value"), 3).as("value"),
           col("filled").cast("int").as("filled"))
     }),
+    "q_fill_loess_biggrid" -> ((s, dir) => {
+      // DISTRIBUTED loess fill (grid-as-table): scattered holes on a
+      // 48x48 lattice, every hole fillable in ONE pass (window 2), so
+      // the tricube-weighted mean has a per-cell closed form the oracle
+      // recomputes — including the reference's clamped-edge duplicate
+      // contributions, which the SQL join reproduces naturally.
+      val nn = 48
+      val iC = floor(col("id") / nn)
+      val jC = col("id") % nn
+      val grid = s.range(nn.toLong * nn).select(
+        iC.cast("double").as("x"), jC.cast("double").as("y"),
+        when((iC + jC) % 3 =!= 1,
+          ((iC * 7 + jC * 13) % 19).cast("double") + 0.25)
+          .otherwise(lit(Double.NaN)).as("v"))
+      graft.operators.FillTable.loessTable(s, grid, "x", "y", "v",
+          nxWin = 2, nyWin = 2, blockSize = 16, maxIterations = 5)
+        .select(col("x").cast("int").as("ci"),
+          col("y").cast("int").as("cj"),
+          round(col("value"), 6).as("value"),
+          col("filled").cast("int").as("filled"))
+    }),
     "q_fill_multigrid" -> ((s, dir) => {
       // fill.multigrid on the same harmonic-plane fixture as gauss_seidel:
       // converged V-cycles reproduce the plane, center = 24 + n
@@ -1937,6 +1958,34 @@ object SparkEntry {
           | CAST(CASE WHEN i > 0 AND j > 0 AND i < 47 AND j < 47
           |   THEN 1 ELSE 0 END AS INT) AS filled
           |FROM range(0, 48) ti(i), range(0, 48) tj(j)"""
+          .stripMargin.replace("\n", " "),
+
+      // distributed-loess oracle: the single-pass tricube-weighted mean
+      // recomputed per hole, clamped-edge duplicates and all
+      "q_fill_loess_biggrid" ->
+        """WITH cells AS (SELECT i, j,
+          |  CASE WHEN (i + j) % 3 <> 1
+          |   THEN CAST((i * 7 + j * 13) % 19 AS DOUBLE) + 0.25 END AS z
+          |  FROM range(0, 48) ti(i), range(0, 48) tj(j)),
+          | offs AS (SELECT oi, oj
+          |  FROM range(-2, 3) a(oi), range(-2, 3) b(oj)),
+          | contrib AS (SELECT c.i, c.j, n.z AS nz,
+          |   (GREATEST(0, LEAST(47, c.i + o.oi)) - c.i) / 2.0 AS dx,
+          |   (GREATEST(0, LEAST(47, c.j + o.oj)) - c.j) / 2.0 AS dy
+          |  FROM cells c CROSS JOIN offs o
+          |  JOIN cells n ON n.i = GREATEST(0, LEAST(47, c.i + o.oi))
+          |   AND n.j = GREATEST(0, LEAST(47, c.j + o.oj))
+          |  WHERE c.z IS NULL AND n.z IS NOT NULL),
+          | wts AS (SELECT i, j, nz,
+          |  CASE WHEN sqrt(dx * dx + dy * dy) > 1.0 THEN 0.0
+          |   ELSE power(1.0 - power(sqrt(dx * dx + dy * dy), 3), 3)
+          |   END AS wt FROM contrib),
+          | fl AS (SELECT i, j, SUM(wt * nz) / SUM(wt) AS z
+          |  FROM wts GROUP BY i, j)
+          |SELECT CAST(c.i AS INT) AS ci, CAST(c.j AS INT) AS cj,
+          | round(COALESCE(c.z, f.z), 6) AS value,
+          | CAST(CASE WHEN c.z IS NULL THEN 1 ELSE 0 END AS INT) AS filled
+          |FROM cells c LEFT JOIN fl f ON f.i = c.i AND f.j = c.j"""
           .stripMargin.replace("\n", " "),
 
       "q_fill_multigrid" ->

@@ -40,6 +40,41 @@ object FillTable {
   final case class FillCell(ci: Int, cj: Int, z: Double, mask: Boolean,
                             res: Double)
 
+  /** Replicate each cell to every block whose (wx, wy)-wide overlap
+    * region contains it (restricted additive Schwarz halo — corners
+    * included so overlap cells can relax), plus the home copy.
+    * Minimal-overlap block-Jacobi converges like 1 − O(w/b); a few-cell
+    * overlap buys an order of magnitude fewer outer iterations. The
+    * periodic-x seam wraps block targets.
+    */
+  private def haloed(state: Dataset[FillCell], b: Int, wx: Int, wy: Int,
+                     nx: Int, ny: Int, perX: Boolean)
+      : Dataset[(Int, Int, FillCell, Boolean)] = {
+    import state.sparkSession.implicits._
+    state.flatMap { c =>
+      val bi = c.ci / b
+      val bj = c.cj / b
+      val nbx = (nx + b - 1) / b
+      val nby = (ny + b - 1) / b
+      var dbis: List[Int] = List(0)
+      if (c.ci % b < wx && (bi > 0 || perX)) dbis ::= -1
+      if ((c.ci % b >= b - wx || (perX && c.ci >= nx - wx)) &&
+        (bi < nbx - 1 || perX)) dbis ::= 1
+      var dbjs: List[Int] = List(0)
+      if (c.cj % b < wy && bj > 0) dbjs ::= -1
+      if (c.cj % b >= b - wy && bj < nby - 1) dbjs ::= 1
+      for {
+        di <- dbis.iterator
+        dj <- dbjs.iterator
+      } yield {
+        val tbi =
+          if (perX) (bi + di + nbx) % nbx
+          else bi + di
+        (tbi, bj + dj, c, di != 0 || dj != 0)
+      }
+    }
+  }
+
   /** gridTable: (xCol, yCol, valueCol) rows of a REGULAR complete
     * lattice, NaN (or absent — absent rows are holes too only if the
     * lattice is dense in the table; absent rows are simply not filled)
@@ -91,34 +126,7 @@ object FillTable {
     var it = 0
     var residual = Double.MaxValue
     while (it < maxSuperIterations && residual > epsilon) {
-      val w = haloWidth
-      val next = state.flatMap { c =>
-          // home copy + halo replicas to every block whose w-wide overlap
-          // region contains this cell (restricted additive Schwarz —
-          // minimal-overlap block-Jacobi converges like 1 - O(w/b), so a
-          // few-cell overlap buys an order of magnitude fewer outer
-          // iterations; corners included because overlap cells relax too)
-          val bi = c.ci / b
-          val bj = c.cj / b
-          val nbx = (nx + b - 1) / b
-          val nby = (ny + b - 1) / b
-          var dbis: List[Int] = List(0)
-          if (c.ci % b < w && (bi > 0 || perX)) dbis ::= -1
-          if ((c.ci % b >= b - w || (perX && c.ci >= nx - w)) &&
-            (bi < nbx - 1 || perX)) dbis ::= 1
-          var dbjs: List[Int] = List(0)
-          if (c.cj % b < w && bj > 0) dbjs ::= -1
-          if (c.cj % b >= b - w && bj < nby - 1) dbjs ::= 1
-          for {
-            di <- dbis.iterator
-            dj <- dbjs.iterator
-          } yield {
-            val tbi =
-              if (perX) (bi + di + nbx) % nbx
-              else bi + di
-            (tbi, bj + dj, c, di != 0 || dj != 0)
-          }
-        }
+      val next = haloed(state, b, haloWidth, haloWidth, nx, ny, perX)
         .groupByKey { case (bi, bj, _, _) => (bi.toLong << 32) | (bj & 0xFFFFFFFFL) }
         .flatMapGroups { (_, rows) =>
           val cells = new java.util.HashMap[Long, Array[Double]]()
@@ -183,6 +191,109 @@ object FillTable {
       // amortize it by checking every 4th iteration (and the first)
       if (it % 4 == 0 || it == maxSuperIterations - 1)
         residual = next.agg(max(col("res"))).head().getDouble(0)
+      state = next
+      it += 1
+    }
+
+    state.toDF()
+      .select(
+        (col("ci").cast("double") * xAxis.step + xAxis.front).as(xCol),
+        (col("cj").cast("double") * yAxis.step + yAxis.front).as(yCol),
+        col("z").as("value"), col("mask").as("filled"))
+  }
+
+  /** Distributed `fill.loess` (reference `fill/loess.hpp` semantics —
+    * tricube-weighted window mean over defined cells, iterated until no
+    * hole remains) for lattices held as tables. Window halos of exactly
+    * (nx, ny) cells are exchanged per pass, and the in-core weight loop
+    * is mirrored verbatim per cell — including the reference's CLAMPED
+    * edge indices (edge cells contribute once per clamped visit) and the
+    * periodic-x wrap with offset-based distances. Cells filled in pass k
+    * are defined sources in pass k+1, so passes ≈ hole radius / window.
+    */
+  def loessTable(spark: SparkSession, gridTable: DataFrame,
+                 xCol: String, yCol: String, valueCol: String,
+                 nxWin: Int = 3, nyWin: Int = 3, blockSize: Int = 256,
+                 maxIterations: Int = 10,
+                 periodicX: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(blockSize > math.max(nxWin, nyWin),
+      "blockSize must exceed the window half-size")
+    import graft.sources.GridLoader
+    val Seq(xAxis, yAxis) = GridLoader.axesOf(gridTable, Seq(xCol, yCol))
+    require(xAxis.isRegular && yAxis.isRegular && xAxis.front < xAxis.back &&
+      yAxis.front < yAxis.back,
+      "loessTable requires regular ascending axes")
+    val nx = xAxis.size
+    val ny = yAxis.size
+    val b = blockSize
+    val wx = nxWin
+    val wy = nyWin
+    val perX = periodicX
+
+    var state: Dataset[FillCell] = gridTable.select(
+        round((col(xCol).cast("double") - lit(xAxis.front)) /
+          lit(xAxis.step)).cast("int").as("ci"),
+        round((col(yCol).cast("double") - lit(yAxis.front)) /
+          lit(yAxis.step)).cast("int").as("cj"),
+        col(valueCol).cast("double").as("z"),
+        isnan(col(valueCol).cast("double")).as("mask"), lit(0.0).as("res"))
+      .as[FillCell]
+      .localCheckpoint()
+
+    var it = 0
+    var holes = 1L
+    while (it < maxIterations && holes > 0) {
+      val next = haloed(state, b, wx, wy, nx, ny, perX)
+        .groupByKey { case (bi, bj, _, _) =>
+          (bi.toLong << 32) | (bj & 0xFFFFFFFFL)
+        }
+        .flatMapGroups { (_, rows) =>
+          val cells = new java.util.HashMap[Long, java.lang.Double]()
+          val home = scala.collection.mutable.ArrayBuffer.empty[FillCell]
+          def key(i: Int, j: Int): Long = (i.toLong << 32) | (j & 0xFFFFFFFFL)
+          rows.foreach { case (_, _, c, isHalo) =>
+            cells.put(key(c.ci, c.cj), c.z)
+            if (!isHalo) home += c
+          }
+          def tricube(d: Double): Double =
+            if (d > 1.0) 0.0
+            else { val t = 1.0 - d * d * d; t * t * t }
+          val nxInv = 1.0 / wx
+          val nyInv = 1.0 / wy
+          home.iterator.map { c =>
+            if (!c.z.isNaN) c
+            else {
+              var wSum = 0.0
+              var wvSum = 0.0
+              var oi = -wx
+              while (oi <= wx) {
+                var wi = c.ci + oi
+                if (perX) wi = graft.core.GeoMath.floorMod(wi, nx)
+                else wi = math.max(0, math.min(nx - 1, wi))
+                var oj = -wy
+                while (oj <= wy) {
+                  val wj = math.max(0, math.min(ny - 1, c.cj + oj))
+                  val zi = cells.get(key(wi, wj))
+                  if (zi != null && !zi.isNaN) {
+                    val dx = (if (perX) oi.toDouble
+                              else (wi - c.ci).toDouble) * nxInv
+                    val dy = (wj - c.cj).toDouble * nyInv
+                    val w = tricube(math.sqrt(dx * dx + dy * dy))
+                    wSum += w
+                    wvSum += w * zi.doubleValue()
+                  }
+                  oj += 1
+                }
+                oi += 1
+              }
+              if (wSum != 0.0) FillCell(c.ci, c.cj, wvSum / wSum, c.mask, 0.0)
+              else c
+            }
+          }
+        }
+        .localCheckpoint()
+      holes = next.filter(r => r.z.isNaN).count()
       state = next
       it += 1
     }

@@ -37,6 +37,61 @@ class FillTableSpec extends AnyFunSuite {
     }
   }
 
+  test("loessTable ≡ in-core loessIterative (multi-pass hole blob)") {
+    // hole blob wider than the window forces multiple passes; the
+    // distributed pass mirrors the core's loop (same clamping, same
+    // summation order) against the same previous-state values, so the
+    // agreement is essentially exact
+    def known(i: Int, j: Int): Boolean =
+      !(i >= 8 && i <= 23 && j >= 8 && j <= 23) // 16x16 hole, window 3
+    def zval(i: Int, j: Int): Double = (i * 7 + j * 13) % 19 + 0.25
+    val vals = Array.tabulate(n * n) { k =>
+      val i = k / n; val j = k % n
+      if (known(i, j)) zval(i, j) else Double.NaN
+    }
+    val iC = floor(col("id") / n)
+    val jC = col("id") % n
+    val gridDf = spark.range(n.toLong * n).select(
+      iC.cast("double").as("x"), jC.cast("double").as("y"),
+      when(!(iC >= 8 && iC <= 23 && jC >= 8 && jC <= 23),
+        ((iC * 7 + jC * 13) % 19).cast("double") + 0.25)
+        .otherwise(lit(Double.NaN)).as("v"))
+    for (per <- Seq(false, true)) {
+      val (core, _) = graft.core.Fill.loessIterative(vals.clone(), n, n,
+        3, 3, maxIterations = 10)
+      // loessIterative has no periodic arm in its signature: mirror the
+      // per-pass loop for the periodic comparison
+      val coreVals =
+        if (!per) core
+        else {
+          var cur = vals.clone()
+          var pass = 0
+          while (pass < 10 && cur.exists(_.isNaN)) {
+            cur = graft.core.Fill.loess(cur, n, n, 3, 3, "undefined",
+              periodicX = true)
+            pass += 1
+          }
+          cur
+        }
+      val dist = FillTable.loessTable(spark, gridDf, "x", "y", "v",
+          nxWin = 3, nyWin = 3, blockSize = 8, maxIterations = 10,
+          periodicX = per)
+        .collect().map(r => (r.getDouble(0).toInt, r.getDouble(1).toInt) ->
+          r.getDouble(2)).toMap
+      var maxDiff = 0.0
+      for (i <- 0 until n; j <- 0 until n) {
+        val c = coreVals(i * n + j)
+        val d = dist((i, j))
+        assert(c.isNaN === d.isNaN, s"per=$per ($i,$j): $d vs $c")
+        if (!c.isNaN) {
+          val diff = math.abs(d - c)
+          if (diff > maxDiff) maxDiff = diff
+        }
+      }
+      assert(maxDiff <= 1e-12, s"periodicX=$per maxDiff $maxDiff")
+    }
+  }
+
   test("parity with the in-core solver, non-periodic and periodic-x") {
     // non-separable boundary data -> no closed form; both solvers must
     // converge to the same discrete Laplace solution
