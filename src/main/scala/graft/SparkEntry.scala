@@ -1426,8 +1426,11 @@ object SparkEntry {
           round(col("zcr_freq"), 6).as("zcr"))
     }),
     "q_audio_features" -> ((s, dir) => {
-      // PCM feature extraction (FFT spectral centroid): engine-specific
-      // DSP -> rows-only; physics asserted in MultimodalSpec
+      // PCM feature extraction: the FFT spectral centroid is now VALUE-
+      // checked — DuckDB regenerates the quantized samples and computes
+      // the same power-spectrum centroid as a naive DFT over bins
+      // 1..n/2-1 (the engine's Cooley-Tukey result differs only at fp
+      // noise, ~1e-6 Hz against the 0.1 Hz rounding grid)
       val n = s.read.parquet(t(dir, "nation")).count()
       val clips = MultimodalOps.synthesizeAudio(s, n, sampleRate = 8000,
         nSamples = 2048).toDF()
@@ -2464,6 +2467,34 @@ object SparkEntry {
           | round(MAX(abs(x)), 6) AS peak,
           | round(SUM(zc) / 2048.0 * 8000 / 2.0, 6) AS zcr
           |FROM f GROUP BY 1""".stripMargin.replace("\n", " "),
+
+      // spectral-centroid value oracle (was rows-only): naive DFT of the
+      // regenerated PCM — 25 clips x 1023 bins x 2048 terms is a ~50M-row
+      // vectorized aggregate, seconds in DuckDB; power-spectrum weighting
+      // re^2+im^2 makes the FFT sign convention irrelevant
+      "q_audio_features" ->
+        """WITH clips AS (SELECT n_nationkey AS i,
+          |  220.0 + (n_nationkey % 20) * 55.0 AS f1 FROM nation),
+          | smp AS (SELECT i, k,
+          |  GREATEST(-32767, LEAST(32767, CAST(trunc(
+          |   (0.6 * sin(2 * pi() * f1 * (k / 8000.0))
+          |    + 0.25 * sin(2 * pi() * (f1 * 1.5) * (k / 8000.0)))
+          |   * 32767) AS INTEGER))) / 32767.0 AS x
+          |  FROM clips CROSS JOIN range(2048) t(k)),
+          | dft AS (SELECT s.i, b.b,
+          |  SUM(s.x * cos(2 * pi() * b.b * s.k / 2048.0)) AS re,
+          |  SUM(s.x * sin(2 * pi() * b.b * s.k / 2048.0)) AS im
+          |  FROM smp s CROSS JOIN range(1, 1024) b(b)
+          |  GROUP BY s.i, b.b),
+          | cent AS (SELECT i,
+          |  SUM((re * re + im * im) * (b * 8000.0 / 2048.0)) /
+          |   SUM(re * re + im * im) AS c
+          |  FROM dft GROUP BY i),
+          | r AS (SELECT i, sqrt(SUM(x * x) / 2048) AS rms
+          |  FROM smp GROUP BY i)
+          |SELECT printf('aud%09d', r.i) AS audio_id,
+          | round(r.rms, 4) AS rms, round(cent.c, 1) AS centroid_hz
+          |FROM r JOIN cent ON cent.i = r.i""".stripMargin.replace("\n", " "),
 
       // fill contract oracle: knowns preserved exactly, holes filled
       // within the low-pass range — per-nation row set + TRUE flags
