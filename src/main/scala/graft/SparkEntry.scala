@@ -408,7 +408,8 @@ object SparkEntry {
       s"(${w(a)(b)}) * 0.25 * (${f(a, b, 0, 0)} + ${f(a, b, 0, 1)} + " +
         s"${f(a, b, 1, 0)} + ${f(a, b, 1, 1)})")
       .mkString(" + ")
-    s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
+    s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders""" +
+      " WHERE o_orderkey < 30000"
   }
 
   /** 3-D mid-stencil oracle: the same constant 6x6 weights applied to
@@ -912,7 +913,12 @@ object SparkEntry {
         ((floor(col("id") / 369) * 31 + (floor(col("id") / 9) % 41) * 17 +
           (floor(col("id") / 3) % 3) * 7 + (col("id") % 3) * 3) % 97)
           .cast("double").as("sst"))
+      // probe cap: the 144-corner fan-out is already stress-proven by the
+      // 2-D/3-D paths at full probe count; 30k probes keep this a
+      // correctness face (sf0.01's 15k orders all pass the cap, so the
+      // oracle rows are identical), not the bench's dominant cost
       val orders = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderkey") < 30000)
       val probe = orders.select(col("o_orderkey"),
         ((col("o_orderkey") % 34) + 3).cast("double").plus(0.5).as("x"),
         ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"),
