@@ -138,6 +138,40 @@ class GeometryAlgorithmsSpec extends AnyFunSuite {
     assert(crossesLines(v1, v2))
   }
 
+  test("crosses and vertexTransversal are symmetric (random polylines)") {
+    // deterministic pseudo-random polylines on a coarse integer-ish grid
+    // (exact-contact cases arise naturally); both predicates are
+    // symmetric by definition — any asymmetry is an implementation bug
+    def h(a: Long): Double = {
+      var z = a * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      ((z ^ (z >>> 31)) & 0xFFFF).toDouble / 0xFFFF
+    }
+    def line(seed: Long, np: Int): IndexedSeq[(Double, Double)] =
+      IndexedSeq.tabulate(np)(k =>
+        (math.rint(h(seed * 31 + k) * 8), math.rint(h(seed * 57 + k + 99) * 8)))
+    var crossed = 0
+    for (s <- 0 until 120) {
+      val a = line(s, 3 + s % 3)
+      val b = line(s + 1000, 3 + (s * 7) % 3)
+      val ab = GeometryAlgorithms.crossesLines(a, b)
+      val ba = GeometryAlgorithms.crossesLines(b, a)
+      assert(ab === ba, s"crosses asym seed $s: $a vs $b")
+      if (ab) crossed += 1
+    }
+    assert(crossed > 10, s"fixture too weak: only $crossed crossings")
+    // transversal evidence symmetry inside relate: pc(a,b) == pc(b,a)
+    for (s <- 0 until 60) {
+      val a = line(s, 4)
+      val b = line(s + 500, 4)
+      val vt = GeometryAlgorithms.vertexTransversal(a, b) ||
+        GeometryAlgorithms.vertexTransversal(b, a)
+      val tv = GeometryAlgorithms.vertexTransversal(b, a) ||
+        GeometryAlgorithms.vertexTransversal(a, b)
+      assert(vt === tv)
+    }
+  }
+
   test("interior point exists for slivers the offset sweep misses") {
     // thin sliver: thickness 1e-7 << 1e-6 * extent, so every inward
     // offset candidate overshoots; the convex-corner triangle method
