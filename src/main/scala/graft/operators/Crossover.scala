@@ -315,12 +315,17 @@ object Crossover {
       // The shuffle this adds is over the HITS table (output-sized, tiny
       // next to the segment join), and min() keeps the pick deterministic.
       val seam = abs(abs(col("x")) - lit(180.0)) <= lit(1e-9)
+      // min over a (x, y) struct keeps ONE actually-computed hit (field
+      // order makes the pick lexicographic and deterministic) — min(x) +
+      // min(y) independently could merge x from one duplicate with y
+      // from another
       base.groupBy(
           when(seam, lit(-180.0)).otherwise(col("x")).as("_xk"),
           when(seam, round(col("y"), 9)).otherwise(col("y")).as("_yk"),
           col("idx_a"), col("idx_b"))
-        .agg(min(col("x")).as("x"), min(col("y")).as("y"))
-        .select(col("x"), col("y"), col("idx_a"), col("idx_b"))
+        .agg(min(struct(col("x"), col("y"))).as("_p"))
+        .select(col("_p.x").as("x"), col("_p.y").as("y"),
+          col("idx_a"), col("idx_b"))
     }
   }
 }

@@ -40,6 +40,21 @@ object FillTable {
   final case class FillCell(ci: Int, cj: Int, z: Double, mask: Boolean,
                             res: Double)
 
+  /** Free the executor blocks of a SUPERSEDED localCheckpoint state.
+    * The checkpointed Dataset's plan root is a LogicalRDD over the
+    * materialized RDD; unpersist that RDD directly (Dataset.unpersist
+    * only covers CacheManager entries, not checkpoint blocks). Without
+    * this, every super-iteration's full lattice copy lingers in block
+    * storage until driver GC + ContextCleaner get around to it — at the
+    * above-broadcast-gate scale this operator targets, that is a real
+    * memory/disk leak. Best-effort by construction: if the plan shape
+    * ever changes, the ContextCleaner path still reclaims on GC.
+    */
+  private def releaseCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Replicate each cell to every block whose (wx, wy)-wide overlap
     * region contains it (restricted additive Schwarz halo — corners
     * included so overlap cells can relax), plus the home copy.
@@ -191,6 +206,10 @@ object FillTable {
       // amortize it by checking every 4th iteration (and the first)
       if (it % 4 == 0 || it == maxSuperIterations - 1)
         residual = next.agg(max(col("res"))).head().getDouble(0)
+      // `next` is materialized (eager checkpoint) and the residual no
+      // longer needs the old state: release its blocks NOW instead of
+      // waiting for driver GC
+      releaseCheckpoint(state)
       state = next
       it += 1
     }
@@ -294,6 +313,7 @@ object FillTable {
         }
         .localCheckpoint()
       holes = next.filter(r => r.z.isNaN).count()
+      releaseCheckpoint(state)
       state = next
       it += 1
     }

@@ -1315,10 +1315,15 @@ private[operators] final class WindowedTableEvaluator3D(
         val f = if (t <= 0.5) fit0 else fit1
         if (f == null) Double.NaN else f.eval(x, y)
       case _ =>
-        // exact-plane probes (t = 0) only need their own plane — matching
-        // the broadcast path, where findIndexes collapses the bracket
+        // exact-plane probes only need their own plane — matching the
+        // broadcast path, where findIndexes collapses the bracket. t = 1
+        // happens for probes exactly on the LAST z node (k0 clamps to
+        // size-2), where the answer is exactly plane 1 — mirroring the
+        // 4-D evaluator's zero-weight plane skip
         if (t == 0.0) {
           if (fit0 == null) Double.NaN else fit0.eval(x, y)
+        } else if (t == 1.0) {
+          if (fit1 == null) Double.NaN else fit1.eval(x, y)
         } else if (fit0 == null || fit1 == null) Double.NaN
         else {
           val v0 = fit0.eval(x, y)

@@ -177,8 +177,12 @@ object Similarity {
     // Dedup.minhashLsh): bound the quadratic self-join; near-identical
     // vectors share EVERY band, so they still meet unless all their
     // buckets are hot
+    // pin only (id, band, bucket) through the guard's localCheckpoint:
+    // the self-join and the exact-cosine verify both re-join `items` for
+    // embeddings, so carrying the embedding column here would materialize
+    // the whole corpus ×bands for nothing
     val banded = Dedup.dropHotBuckets(
-      items.select(col("id"), col("embedding"),
+      items.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           lshBucket(col("embedding"), planesPerBand, dims,
             seed + b * 104729L)): _*)).as(Seq("band", "bucket"))),

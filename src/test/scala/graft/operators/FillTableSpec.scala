@@ -37,6 +37,21 @@ class FillTableSpec extends AnyFunSuite {
     }
   }
 
+  test("superseded super-iteration states are released promptly") {
+    // every super-iteration localCheckpoints the next lattice state; the
+    // prior state's blocks must be freed explicitly (not left to driver
+    // GC + ContextCleaner) or a long run accumulates one full lattice
+    // copy per iteration in block storage. After the call returns only
+    // the FINAL state may remain pinned.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    FillTable.gaussSeidelTable(spark, planeGrid(), "x", "y", "v",
+      blockSize = 8, haloWidth = 4, innerSweeps = 10,
+      maxSuperIterations = 25, epsilon = 1e-13).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"checkpoint states leaked: $before -> $after persistent RDDs")
+  }
+
   test("loessTable ≡ in-core loessIterative (multi-pass hole blob)") {
     // hole blob wider than the window forces multiple passes; the
     // distributed pass mirrors the core's loop (same clamping, same
