@@ -1676,8 +1676,8 @@ object SparkEntry {
       // DISTRIBUTED loess fill (grid-as-table): scattered holes on a
       // 48x48 lattice, every hole fillable in ONE pass (window 2), so
       // the tricube-weighted mean has a per-cell closed form the oracle
-      // recomputes — including the reference's clamped-edge duplicate
-      // contributions, which the SQL join reproduces naturally.
+      // recomputes — including the reference frame_index's reflected
+      // edge visits (duplicates and all), which the SQL join reproduces.
       val nn = 48
       val iC = floor(col("id") / nn)
       val jC = col("id") % nn
@@ -1970,7 +1970,8 @@ object SparkEntry {
           .stripMargin.replace("\n", " "),
 
       // distributed-loess oracle: the single-pass tricube-weighted mean
-      // recomputed per hole, clamped-edge duplicates and all
+      // recomputed per hole, with the reference frame_index's REFLECTED
+      // edge indexes (-1 -> 1, 48 -> 46) and mapped-index distances
       "q_fill_loess_biggrid" ->
         """WITH cells AS (SELECT i, j,
           |  CASE WHEN (i + j) % 3 <> 1
@@ -1978,13 +1979,18 @@ object SparkEntry {
           |  FROM range(0, 48) ti(i), range(0, 48) tj(j)),
           | offs AS (SELECT oi, oj
           |  FROM range(-2, 3) a(oi), range(-2, 3) b(oj)),
-          | contrib AS (SELECT c.i, c.j, n.z AS nz,
-          |   (GREATEST(0, LEAST(47, c.i + o.oi)) - c.i) / 2.0 AS dx,
-          |   (GREATEST(0, LEAST(47, c.j + o.oj)) - c.j) / 2.0 AS dy
-          |  FROM cells c CROSS JOIN offs o
-          |  JOIN cells n ON n.i = GREATEST(0, LEAST(47, c.i + o.oi))
-          |   AND n.j = GREATEST(0, LEAST(47, c.j + o.oj))
-          |  WHERE c.z IS NULL AND n.z IS NOT NULL),
+          | stencil AS (SELECT c.i, c.j,
+          |   CASE WHEN c.i + o.oi < 0 THEN -(c.i + o.oi)
+          |    WHEN c.i + o.oi > 47 THEN 94 - (c.i + o.oi)
+          |    ELSE c.i + o.oi END AS wi,
+          |   CASE WHEN c.j + o.oj < 0 THEN -(c.j + o.oj)
+          |    WHEN c.j + o.oj > 47 THEN 94 - (c.j + o.oj)
+          |    ELSE c.j + o.oj END AS wj
+          |  FROM cells c CROSS JOIN offs o WHERE c.z IS NULL),
+          | contrib AS (SELECT s.i, s.j, n.z AS nz,
+          |   (s.wi - s.i) / 2.0 AS dx, (s.wj - s.j) / 2.0 AS dy
+          |  FROM stencil s JOIN cells n ON n.i = s.wi AND n.j = s.wj
+          |  WHERE n.z IS NOT NULL),
           | wts AS (SELECT i, j, nz,
           |  CASE WHEN sqrt(dx * dx + dy * dy) > 1.0 THEN 0.0
           |   ELSE power(1.0 - power(sqrt(dx * dx + dy * dy), 3), 3)
@@ -2002,8 +2008,9 @@ object SparkEntry {
           | CAST(24 + n_nationkey AS DOUBLE) AS center
           |FROM nation""".stripMargin.replace("\n", " "),
 
-      // one LOESS pass mirrored exactly: 7x7 clamped window, tricube of
-      // the normalized offset, defined cells pass through
+      // one LOESS pass mirrored exactly: 7x7 window with the reference
+      // frame_index's REFLECTED edge indexes (-1 -> 1, 12 -> 10),
+      // tricube of the mapped-index distance, defined cells pass through
       "q_fill_loess" ->
         """WITH cells AS (SELECT n.n_nationkey AS n,
           |  CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j
@@ -2013,8 +2020,16 @@ object SparkEntry {
           |   ELSE CAST((i * 31 + j * 17 + n) % 97 AS DOUBLE) END AS z
           |  FROM cells),
           | stencil AS (SELECT g.n, g.i, g.j,
-          |   GREATEST(0, LEAST(11, g.i + CAST(oi.range AS INT))) AS wi,
-          |   GREATEST(0, LEAST(11, g.j + CAST(oj.range AS INT))) AS wj
+          |   CASE WHEN g.i + CAST(oi.range AS INT) < 0
+          |     THEN -(g.i + CAST(oi.range AS INT))
+          |    WHEN g.i + CAST(oi.range AS INT) > 11
+          |     THEN 22 - (g.i + CAST(oi.range AS INT))
+          |    ELSE g.i + CAST(oi.range AS INT) END AS wi,
+          |   CASE WHEN g.j + CAST(oj.range AS INT) < 0
+          |     THEN -(g.j + CAST(oj.range AS INT))
+          |    WHEN g.j + CAST(oj.range AS INT) > 11
+          |     THEN 22 - (g.j + CAST(oj.range AS INT))
+          |    ELSE g.j + CAST(oj.range AS INT) END AS wj
           |  FROM grid g, range(-3, 4) oi, range(-3, 4) oj
           |  WHERE g.z IS NULL),
           | contrib AS (SELECT s.n, s.i, s.j, g2.z,

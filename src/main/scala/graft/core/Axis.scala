@@ -207,4 +207,19 @@ object GeoMath {
     val r = i % n
     if (r < 0) r + n else r
   }
+
+  /** Symmetric-reflection edge mapping of the reference's fill-window
+    * `frame_index` (`fill/helpers.hpp:79-110`, non-angle branch):
+    * out-of-domain indexes reflect about the edge NODES (-1 -> 1,
+    * size -> size-2), so edge-adjacent windows revisit interior cells
+    * instead of clamping onto the edge cell.
+    */
+  def reflectIndex(idx: Int, size: Int): Int = {
+    if (idx >= 0 && idx < size) idx
+    else if (size == 1) 0
+    else {
+      val where = floorMod(idx, (size - 1) * 2)
+      if (where >= size) size - 2 - floorMod(where, size) else where
+    }
+  }
 }

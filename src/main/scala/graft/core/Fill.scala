@@ -43,19 +43,25 @@ object Fill {
         }
         if (!process) out(i * nySize + j) = v
         else {
+          // window indexes via the reference's frame_index
+          // (`fill/helpers.hpp:79-110`): periodic x wraps (modulo), and
+          // non-periodic edges REFLECT (-1 -> 1), with tricube distances
+          // always over the MAPPED index difference — so cross-seam
+          // periodic neighbors land at distance > 1 and weigh 0, and
+          // edge-adjacent windows revisit interior cells symmetrically
           var wSum = 0.0
           var wvSum = 0.0
           var oi = -nx
           while (oi <= nx) {
-            var wi = i + oi
-            if (periodicX) wi = GeoMath.floorMod(wi, nxSize)
-            else wi = math.max(0, math.min(nxSize - 1, wi))
+            val wi =
+              if (periodicX) GeoMath.floorMod(i + oi, nxSize)
+              else GeoMath.reflectIndex(i + oi, nxSize)
             var oj = -ny
             while (oj <= ny) {
-              val wj = math.max(0, math.min(nySize - 1, j + oj))
+              val wj = GeoMath.reflectIndex(j + oj, nySize)
               val zi = values(wi * nySize + wj)
               if (!zi.isNaN) {
-                val dx = (if (periodicX) oi.toDouble else (wi - i).toDouble) * nxInv
+                val dx = (wi - i).toDouble * nxInv
                 val dy = (wj - j).toDouble * nyInv
                 val w = tricube(math.sqrt(dx * dx + dy * dy))
                 wSum += w

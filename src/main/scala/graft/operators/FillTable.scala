@@ -225,10 +225,14 @@ object FillTable {
     * tricube-weighted window mean over defined cells, iterated until no
     * hole remains) for lattices held as tables. Window halos of exactly
     * (nx, ny) cells are exchanged per pass, and the in-core weight loop
-    * is mirrored verbatim per cell — including the reference's CLAMPED
-    * edge indices (edge cells contribute once per clamped visit) and the
-    * periodic-x wrap with offset-based distances. Cells filled in pass k
-    * are defined sources in pass k+1, so passes ≈ hole radius / window.
+    * is mirrored verbatim per cell — including the reference
+    * `frame_index` boundary convention (`fill/helpers.hpp:79-110`):
+    * non-periodic edges REFLECT (-1 -> 1, so edge windows revisit
+    * interior cells, possibly twice), periodic x wraps modulo, and
+    * tricube distances use the MAPPED index difference (cross-seam
+    * periodic neighbors land at distance > 1 and weigh 0). Cells filled
+    * in pass k are defined sources in pass k+1, so passes ≈ hole
+    * radius / window.
     */
   def loessTable(spark: SparkSession, gridTable: DataFrame,
                  xCol: String, yCol: String, valueCol: String,
@@ -287,16 +291,15 @@ object FillTable {
               var wvSum = 0.0
               var oi = -wx
               while (oi <= wx) {
-                var wi = c.ci + oi
-                if (perX) wi = graft.core.GeoMath.floorMod(wi, nx)
-                else wi = math.max(0, math.min(nx - 1, wi))
+                val wi =
+                  if (perX) graft.core.GeoMath.floorMod(c.ci + oi, nx)
+                  else graft.core.GeoMath.reflectIndex(c.ci + oi, nx)
                 var oj = -wy
                 while (oj <= wy) {
-                  val wj = math.max(0, math.min(ny - 1, c.cj + oj))
+                  val wj = graft.core.GeoMath.reflectIndex(c.cj + oj, ny)
                   val zi = cells.get(key(wi, wj))
                   if (zi != null && !zi.isNaN) {
-                    val dx = (if (perX) oi.toDouble
-                              else (wi - c.ci).toDouble) * nxInv
+                    val dx = (wi - c.ci).toDouble * nxInv
                     val dy = (wj - c.cj).toDouble * nyInv
                     val w = tricube(math.sqrt(dx * dx + dy * dy))
                     wSum += w

@@ -83,6 +83,52 @@ class FillSpec extends AnyFunSuite {
     assert(out(5) == 20.0)
   }
 
+  test("fill frame_index edge reflection matches the reference mapping") {
+    import graft.core.GeoMath.reflectIndex
+    // reference fill/helpers.hpp:79-110 non-angle branch: reflect about
+    // the edge NODES
+    assert(reflectIndex(-1, 48) === 1)
+    assert(reflectIndex(-2, 48) === 2)
+    assert(reflectIndex(48, 48) === 46)
+    assert(reflectIndex(49, 48) === 45)
+    assert(reflectIndex(-3, 12) === 3)
+    assert(reflectIndex(13, 12) === 9)
+    assert(reflectIndex(0, 12) === 0)
+    assert(reflectIndex(11, 12) === 11)
+    assert(reflectIndex(5, 1) === 0)
+  }
+
+  test("loess edge holes use reflected (not clamped) windows") {
+    // constant field: any weighting fills the corner hole with the
+    // constant; asymmetric field: the reflected window's duplicate
+    // interior visits shift the mean INWARD vs a clamped window
+    val nx = 8; val ny = 8
+    val const = Array.fill(nx * ny)(7.5)
+    const(0) = Double.NaN
+    val cOut = graft.core.Fill.loess(const, nx, ny, 2, 2, "undefined")
+    assert(math.abs(cOut(0) - 7.5) < 1e-12)
+    // linear-in-i field: reflection makes the corner window symmetric
+    // about i=0 in MAPPED index space: neighbors at mapped i in
+    // {0,1,2} × j in {0,1,2} with reflected duplicates; the exact value
+    // is recomputed here independently via the reference mapping
+    val lin = Array.tabulate(nx * ny)(k => (k / ny).toDouble)
+    lin(0) = Double.NaN
+    val lOut = graft.core.Fill.loess(lin, nx, ny, 2, 2, "undefined")
+    var ws = 0.0; var wvs = 0.0
+    for (oi <- -2 to 2; oj <- -2 to 2) {
+      val wi = graft.core.GeoMath.reflectIndex(oi, nx)
+      val wj = graft.core.GeoMath.reflectIndex(oj, ny)
+      if (!(wi == 0 && wj == 0)) {
+        val d = math.sqrt(wi * wi / 4.0 + wj * wj / 4.0)
+        if (d <= 1.0) {
+          val t = 1 - d * d * d; val w = t * t * t
+          ws += w; wvs += w * wi
+        }
+      }
+    }
+    assert(math.abs(lOut(0) - wvs / ws) < 1e-12)
+  }
+
   test("loess fills holes with tri-cube weighted neighborhood") {
     val nx = 10
     val ny = 10
