@@ -393,6 +393,21 @@ object SparkEntry {
     s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
   }
 
+  /** Seam-wrapped 2-D mid-stencil oracle: the same constant 6x6 weights
+    * over a 40-column FULL-CIRCLE lattice — stencil columns index
+    * modulo 40 (window origin i0-2, i0 = o % 40), so seam-crossing
+    * windows are genuinely exercised. Probe x shifts by ±period cancel
+    * under normalization and do not appear here.
+    */
+  def midStencilSeamSql(w: Array[Array[Double]]): String = {
+    val terms = (for (a <- 0 until 6; b <- 0 until 6
+        if math.abs(w(a)(b)) > 1e-18) yield
+      s"(${w(a)(b)}) * CAST((((o_orderkey % 40 + 38 + $a) % 40) * 31 + " +
+        s"(o_orderkey * 7 % 34 + 1 + $b) * 17) % 97 AS DOUBLE)")
+      .mkString(" + ")
+    s"""SELECT o_orderkey, round($terms, 6) AS interp FROM orders"""
+  }
+
   /** 4-D mid-stencil oracle: the 6x6 weights on all FOUR (z, u) planes,
     * averaged — half-step z and u make the bilinear combine an exact
     * 4-way 0.25 mix.
@@ -855,6 +870,47 @@ object SparkEntry {
         ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"))
       GridInterpolator.bivariateTableWindowed(s, probe, "x", "y", gridTable,
           "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+    "q_bilinear_biggrid_seam" -> ((s, dir) => {
+      // PERIODIC-LONGITUDE grid-as-table path: a full-circle 40-column
+      // lattice (step 1, xPeriod 40) probed at half-cell offsets in
+      // EVERY lon cell including the seam cell (whose right corners wrap
+      // to column 0), with probes shifted by ±period to exercise
+      // normalization. Weights are exactly 0.25 -> fp-exact oracle.
+      val gridTable = s.range(40L * 41L).select(
+        floor(col("id") / 41).cast("double").as("lon"),
+        (col("id") % 41).cast("double").as("lat"),
+        ((floor(col("id") / 41) * 31 + (col("id") % 41) * 17) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 40).cast("double") + 0.5 +
+          ((col("o_orderkey") % 3) - 1).cast("double") * 40.0).as("x"),
+        ((col("o_orderkey") * 7 % 40).cast("double") + 0.5).as("y"))
+      GridInterpolator.bivariateTable(s, probe, "x", "y", gridTable,
+          xPeriod = 40.0)
+        .select(col("o_orderkey"), col("value").as("interp"))
+    }),
+    "q_bicubic_biggrid_seam" -> ((s, dir) => {
+      // PERIODIC-LONGITUDE WINDOWED grid-as-table path: the same
+      // full-circle lattice interpolated bicubic through the 36-corner
+      // stencil join with seam-wrapped stencil columns; probes at
+      // half-cell offsets in EVERY lon cell, so windows near the seam
+      // genuinely wrap. The constant 6x6 mid-stencil gives the closed
+      // oracle with modular column indexes.
+      val gridTable = s.range(40L * 41L).select(
+        floor(col("id") / 41).cast("double").as("lon"),
+        (col("id") % 41).cast("double").as("lat"),
+        ((floor(col("id") / 41) * 31 + (col("id") % 41) * 17) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 40).cast("double") + 0.5 +
+          ((col("o_orderkey") % 3) - 1).cast("double") * 40.0).as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.5).as("y"))
+      GridInterpolator.bivariateTableWindowed(s, probe, "x", "y", gridTable,
+          "bicubic", xPeriod = 40.0)
         .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
     "q_bicubic3d_biggrid" -> ((s, dir) => {
@@ -2086,6 +2142,23 @@ object SparkEntry {
 
       "q_bicubic3d_biggrid" ->
         SparkEntry.midStencil3dSql(SparkEntry.bicubicMidStencil),
+
+      // half-cell probes on the full-circle lattice: bilinear = mean of
+      // the 4 corners with the seam cell's right column wrapping to 0
+      "q_bilinear_biggrid_seam" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 40 AS INT) AS i0,
+          |  CAST(o_orderkey * 7 % 40 AS INT) AS j0 FROM orders)
+          |SELECT o_orderkey,
+          | (CAST((i0*31 + j0*17) % 97 AS DOUBLE)
+          |  + CAST((i0*31 + (j0+1)*17) % 97 AS DOUBLE)
+          |  + CAST((((i0+1)%40)*31 + j0*17) % 97 AS DOUBLE)
+          |  + CAST((((i0+1)%40)*31 + (j0+1)*17) % 97 AS DOUBLE)) / 4.0
+          |   AS interp
+          |FROM p""".stripMargin.replace("\n", " "),
+
+      "q_bicubic_biggrid_seam" ->
+        SparkEntry.midStencilSeamSql(SparkEntry.bicubicMidStencil),
 
       // 16-corner quadrilinear at half-cell offsets: exact 1/16 weights
       "q_quadrilinear_biggrid" -> {

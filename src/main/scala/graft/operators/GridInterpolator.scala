@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{array, coalesce, col, collect_list,
-  count, explode, floor, least, lit, monotonically_increasing_id, round,
-  struct, sum, when}
+  count, explode, floor, least, lit, monotonically_increasing_id, pmod,
+  round, struct, sum, when}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import graft.core.{Axis, Bicubic, Boundary, Interpolate}
@@ -165,21 +165,34 @@ object GridInterpolator {
     * probes with a masked/missing corner cell, yield NaN — the broadcast
     * path's semantics.
     *
-    * Requires regular, ascending, non-periodic axes (the common shape of
-    * lattices too large to broadcast); irregular or periodic grids belong
-    * on the broadcast path (`GridLoader.grid2d` + [[bivariate]]).
+    * Requires regular ascending axes (the common shape of lattices too
+    * large to broadcast); irregular grids belong on the broadcast path
+    * (`GridLoader.grid2d` + [[bivariate]]). A GLOBAL lon-periodic lattice
+    * — the single most common huge grid — is declared by `xPeriod`
+    * (e.g. 360.0): the lattice must cover the full circle
+    * (nx·step = period), probe coordinates normalize into the period
+    * (`math/axis.hpp:294-333` semantics), the x bracket never rejects,
+    * and the seam cell's right corners wrap to lattice column 0
+    * (`findIndexes` wrap, `axis.hpp:722-778`).
     */
   def bivariateTable(spark: SparkSession, probe: DataFrame, xCol: String,
                      yCol: String, gridTable: DataFrame,
                      valueCol: String = "",
-                     outputCol: String = "value"): DataFrame = {
+                     outputCol: String = "value",
+                     xPeriod: Double = 0.0): DataFrame = {
     val (lonCol, latCol, vCol, xAxis, yAxis) =
       resolveGrid2dTable(gridTable, valueCol)
     require(xAxis.isRegular && yAxis.isRegular && xAxis.size >= 2 &&
       yAxis.size >= 2 && !xAxis.isPeriodic && !yAxis.isPeriodic &&
       xAxis.front < xAxis.back && yAxis.front < yAxis.back,
-      "bivariateTable requires regular ascending non-periodic axes; load " +
-        "irregular/periodic grids through GridLoader.grid2d (broadcast)")
+      "bivariateTable requires regular ascending axes; load irregular " +
+        "grids through GridLoader.grid2d (broadcast)")
+    val periodic = xPeriod != 0.0
+    val nx = xAxis.size
+    if (periodic) require(
+      math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
+      s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
+        s"${nx * xAxis.step}")
 
     // distributed cell table keyed by integer lattice indices
     val cells = gridTable.select(
@@ -190,29 +203,43 @@ object GridInterpolator {
       col(vCol).cast("double").as("_z"))
 
     val withId = withStableId(probe)
-    val fx = (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
+    val fxRaw = (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
+    // periodic: normalize into [0, nx) cell units — every x frames
+    val fx = if (periodic) pmod(fxRaw, lit(nx.toDouble)) else fxRaw
     val fy = (col(yCol).cast("double") - lit(yAxis.front)) / lit(yAxis.step)
     // right-edge-inclusive bracket (findIndexes semantics); out-of-range
-    // probes emit no corner rows and surface as NaN after the left join
-    val p = withId
+    // probes emit no corner rows and surface as NaN after the left join.
+    // Periodic x: a probe exactly on the LAST node brackets (nx-2, nx-1)
+    // like findIndexes' delta==0 collapse; past it, (nx-1, wrap-to-0).
+    val i0 =
+      if (periodic)
+        when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
+          .otherwise(floor(col("_fx")).cast("int")).cast("int")
+      else least(floor(col("_fx")).cast("int"), lit(nx - 2))
+    val pAll = withId
       .withColumn("_fx", fx).withColumn("_fy", fy)
-      .withColumn("_i0",
-        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_i0", i0)
       .withColumn("_j0",
         least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
       .withColumn("_tx", col("_fx") - col("_i0"))
       .withColumn("_ty", col("_fy") - col("_j0"))
-      .filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
-        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble))
+    val yFrame = col("_fy") >= 0.0 &&
+      col("_fy") <= lit((yAxis.size - 1).toDouble)
+    val p =
+      if (periodic) pAll.filter(yFrame)
+      else pAll.filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((nx - 1).toDouble) && yFrame)
+    // seam wrap of the right corner column (periodic only)
+    def ciOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (periodic) pmod(c, lit(nx)) else c
     val corners = p.select(col("_rid"), explode(array(
         struct(col("_i0").as("_ci"), col("_j0").as("_cj"),
           ((lit(1.0) - col("_tx")) * (lit(1.0) - col("_ty"))).as("_w")),
         struct(col("_i0").as("_ci"), (col("_j0") + 1).as("_cj"),
           ((lit(1.0) - col("_tx")) * col("_ty")).as("_w")),
-        struct((col("_i0") + 1).as("_ci"), col("_j0").as("_cj"),
+        struct(ciOf(col("_i0") + 1).as("_ci"), col("_j0").as("_cj"),
           (col("_tx") * (lit(1.0) - col("_ty"))).as("_w")),
-        struct((col("_i0") + 1).as("_ci"), (col("_j0") + 1).as("_cj"),
+        struct(ciOf(col("_i0") + 1).as("_ci"), (col("_j0") + 1).as("_cj"),
           (col("_tx") * col("_ty")).as("_w")))).as("_c"))
       .select(col("_rid"), col("_c._ci").as("_ci"), col("_c._cj").as("_cj"),
         col("_c._w").as("_w"))
@@ -340,8 +367,16 @@ object GridInterpolator {
     * origin so consecutive probes reuse the window fit (the broadcast
     * path's window cache, re-earned after the shuffle).
     *
-    * Requires regular, ascending, non-periodic axes (the common shape of
-    * lattices too large to broadcast) of at least 2·halfWindow nodes.
+    * Requires regular, ascending axes (the common shape of lattices too
+    * large to broadcast) of at least 2·halfWindow nodes. A GLOBAL
+    * lon-periodic lattice is declared by `xPeriod` (e.g. 360.0; requires
+    * nx·step = period): probe x normalizes into the period, the x frame
+    * never rejects, and windows crossing the seam pull their stencil
+    * columns through `floorMod(wi+di, nx)` — the broadcast window's wrap
+    * (`math/interpolate/cache_loader.hpp:110-133` semantics). The
+    * evaluator then works in UNWRAPPED window coordinates (xs may extend
+    * past the axis ends by < halfWindow·step), exactly like the
+    * broadcast kernel's monotonic window unwrap.
     */
   def bivariateTableWindowed(spark: SparkSession, probe: DataFrame,
                              xCol: String, yCol: String,
@@ -349,7 +384,8 @@ object GridInterpolator {
                              method: String = "bicubic",
                              halfWindow: Int = 3,
                              valueCol: String = "",
-                             outputCol: String = "value"): DataFrame = {
+                             outputCol: String = "value",
+                             xPeriod: Double = 0.0): DataFrame = {
     require(!geometricMethods.contains(method),
       s"method $method is geometric — use bivariateTable")
     require(halfWindow >= 1, "halfWindow must be >= 1")
@@ -359,9 +395,15 @@ object GridInterpolator {
     require(xAxis.isRegular && yAxis.isRegular && xAxis.size >= n &&
       yAxis.size >= n && !xAxis.isPeriodic && !yAxis.isPeriodic &&
       xAxis.front < xAxis.back && yAxis.front < yAxis.back,
-      "bivariateTableWindowed requires regular ascending non-periodic " +
-        "axes of >= 2*halfWindow nodes; load irregular/periodic grids " +
-        "through GridLoader.grid2d (broadcast)")
+      "bivariateTableWindowed requires regular ascending axes of >= " +
+        "2*halfWindow nodes; load irregular grids through " +
+        "GridLoader.grid2d (broadcast)")
+    val periodic = xPeriod != 0.0
+    val nx = xAxis.size
+    if (periodic) require(
+      math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
+      s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
+        s"${nx * xAxis.step}")
 
     val cells = gridTable.select(
       round((col(lonCol).cast("double") - lit(xAxis.front)) /
@@ -371,38 +413,57 @@ object GridInterpolator {
       col(vCol).cast("double").as("_z"))
 
     val withId = withStableId(probe)
-    val fx = (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
+    val fxRaw = (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
+    val fx = if (periodic) pmod(fxRaw, lit(nx.toDouble)) else fxRaw
     val fy = (col(yCol).cast("double") - lit(yAxis.front)) / lit(yAxis.step)
     // bracket cell (right-edge-inclusive, findIndexes semantics) ->
     // window origin; the frame filter mirrors Axis.window with boundary
     // `undef`: i0 in [halfWindow-1, size-1-halfWindow], probes outside
-    // surface as NaN after the final left join
-    val p = withId
+    // surface as NaN after the final left join. Periodic x never rejects
+    // and its window origin may be negative (unwrapped frame).
+    val i0 =
+      if (periodic)
+        when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
+          .otherwise(floor(col("_fx")).cast("int")).cast("int")
+      else least(floor(col("_fx")).cast("int"), lit(nx - 2))
+    val pAll = withId
       .withColumn("_fx", fx).withColumn("_fy", fy)
-      .withColumn("_i0",
-        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_i0", i0)
       .withColumn("_j0",
         least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
       .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
       .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
-      .filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
-        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(xAxis.size - 1) &&
-        col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1))
+    val yFrame = col("_fy") >= 0.0 &&
+      col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+      col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
+    val p =
+      if (periodic) pAll.filter(yFrame)
+      else pAll.filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((nx - 1).toDouble) &&
+        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx - 1) && yFrame)
     val offsets = for (di <- 0 until n; dj <- 0 until n)
       yield struct(lit(di).as("_di"), lit(dj).as("_dj"))
+    // seam wrap of the stencil column key (periodic only)
+    def ciOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (periodic) pmod(c, lit(nx)) else c
     val corners = p.select(col("_rid"), col("_wi"), col("_wj"),
         explode(array(offsets: _*)).as("_d"))
       .select(col("_rid"),
-        (col("_wi") + col("_d._di")).as("_ci"),
+        ciOf(col("_wi") + col("_d._di")).as("_ci"),
         (col("_wj") + col("_d._dj")).as("_cj"),
         col("_d._di").as("_di"), col("_d._dj").as("_dj"))
     val agg = corners.join(cells, Seq("_ci", "_cj"))
       .groupBy("_rid")
       .agg(collect_list(struct(col("_di"), col("_dj"), col("_z")))
         .as("_cells"))
-    val evalIn = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
+    // periodic probes evaluate at the UNWRAPPED window coordinate
+    // front + fx·step (fx - wi ∈ [halfWindow-1, halfWindow), always
+    // inside the unwrapped xs frame); non-periodic keeps the raw x so
+    // the established paths stay bit-identical
+    val xEval =
+      if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
+      else col(xCol).cast("double")
+    val evalIn = p.select(col("_rid"), xEval.as("_x"),
         col(yCol).cast("double").as("_y"), col("_wi"), col("_wj"))
       .join(agg, Seq("_rid"), "left")
       // window-cache locality: runs of probes sharing a window evaluate

@@ -503,6 +503,86 @@ class PeriodicSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  /** The same 72x35 global grid as a long-format table (lon, lat, v). */
+  def makeGridTable() = {
+    val grid = makeGrid()
+    val rows = for (i <- 0 until 72; j <- 0 until 35)
+      yield (grid.xAxis(i), grid.yAxis(j), grid.values(i * 35 + j))
+    rows.toDF("lon", "lat", "v")
+  }
+
+  test("grid-as-table bilinear ≡ broadcast across the seam (xPeriod)") {
+    val grid = makeGrid()
+    val tbl = makeGridTable()
+    // probes straddling ±180 plus normalization cases (183, -358.5 wrap)
+    // and interior controls
+    val pts = Seq((177.5, 10.0), (-177.5, 10.0), (179.9, -20.0),
+      (183.0, 0.0), (-358.5, 5.0), (12.5, 42.5), (-180.0, 0.0),
+      (175.0, 10.0))
+    val df = pts.toDF("x", "y")
+    val bc = GridInterpolator.bivariate(spark, df, "x", "y", grid,
+      "bilinear").select("x", "y", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val tb = GridInterpolator.bivariateTable(spark, df, "x", "y", tbl,
+      xPeriod = 360.0).select("x", "y", "value").collect()
+    assert(tb.length === pts.length)
+    tb.foreach { r =>
+      val k = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(r.getDouble(2) - bc(k)) < 1e-9,
+        s"$k: table ${r.getDouble(2)} vs broadcast ${bc(k)}")
+    }
+  }
+
+  test("grid-as-table windowed bicubic ≡ broadcast across the seam") {
+    val grid = makeGrid()
+    val tbl = makeGridTable()
+    // windows crossing the seam from both sides, the exact seam node,
+    // a normalization case, and interior controls; last-lat rows stay
+    // inside the y frame (undef boundary)
+    val pts = Seq((179.0, 0.0), (-179.0, 30.0), (177.5, 10.0),
+      (-180.0, 0.0), (184.2, -30.0), (-171.3, 55.0), (0.4, 12.0),
+      (175.0, -42.5))
+    val df = pts.toDF("x", "y")
+    val bc = GridInterpolator.bivariate(spark, df, "x", "y", grid,
+      "bicubic").select("x", "y", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val tb = GridInterpolator.bivariateTableWindowed(spark, df, "x", "y",
+      tbl, "bicubic", xPeriod = 360.0).select("x", "y", "value").collect()
+    assert(tb.length === pts.length)
+    tb.foreach { r =>
+      val k = (r.getDouble(0), r.getDouble(1))
+      assert(!r.getDouble(2).isNaN, s"$k NaN on the table path")
+      assert(math.abs(r.getDouble(2) - bc(k)) < 1e-9,
+        s"$k: table ${r.getDouble(2)} vs broadcast ${bc(k)}")
+    }
+  }
+
+  test("grid-as-table windowed spline ≡ broadcast across the seam") {
+    val grid = makeGrid()
+    val tbl = makeGridTable()
+    val pts = Seq((178.6, 0.0), (-178.2, 30.0), (181.0, -10.0),
+      (44.0, 21.3))
+    val df = pts.toDF("x", "y")
+    val bc = GridInterpolator.bivariate(spark, df, "x", "y", grid,
+      "c_spline").select("x", "y", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val tb = GridInterpolator.bivariateTableWindowed(spark, df, "x", "y",
+      tbl, "c_spline", xPeriod = 360.0).select("x", "y", "value").collect()
+    tb.foreach { r =>
+      val k = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(r.getDouble(2) - bc(k)) < 1e-9,
+        s"$k: table ${r.getDouble(2)} vs broadcast ${bc(k)}")
+    }
+  }
+
+  test("xPeriod rejects a lattice that does not close the circle") {
+    val tbl = makeGridTable().filter(col("lon") < 100.0)
+    intercept[IllegalArgumentException] {
+      GridInterpolator.bivariateTable(spark,
+        Seq((10.0, 10.0)).toDF("x", "y"), "x", "y", tbl, xPeriod = 360.0)
+    }
+  }
+
   test("linear binning wraps weights across the seam") {
     val lonAxis = Axis.regular(-180.0, 175.0, 72, period = 360.0)
     val latAxis = Axis.regular(-85.0, 85.0, 35)
