@@ -354,18 +354,18 @@ object GridInterpolator {
     * `pyinterp/regular_grid_interpolator.py:45-63`) without ever
     * collecting the grid.
     *
-    * Plan: [[bivariateTable]]'s 4-corner join generalized to the
-    * (2·halfWindow)² stencil — each framed probe fans out to its window's
-    * corner keys (pure column arithmetic), one shuffle equi-join on
-    * (_ci, _cj) pulls the stencil values, a groupBy reassembles the window
-    * as a (di, dj, z) list, and a typed mapPartitions stage evaluates the
-    * SAME core kernels as the broadcast path ([[graft.core.Bicubic]] /
-    * [[graft.core.Univariate1D]] / cspline) — so table ≡ broadcast to the
-    * last bit. Probes whose window cannot be framed (boundary `undef`
-    * semantics) or with a missing/masked stencil cell yield NaN, matching
-    * the broadcast kernel. The eval stage sorts partitions by window
-    * origin so consecutive probes reuse the window fit (the broadcast
-    * path's window cache, re-earned after the shuffle).
+    * Plan ([[WindowedTileJoin]], tile-halo co-partitioning): probes and
+    * lattice cells are both keyed by WINDOW TILE and co-grouped in one
+    * shuffle each — each cell ships once per tile (+ once more in the
+    * (2·halfWindow-1)-cell halo band), NOT once per referencing probe,
+    * so shuffle volume is ~1 probe pass + ~1.2 lattice passes instead of
+    * the (2·halfWindow)² per-probe stencil fan-out. Per tile the cells
+    * fill a dense local block and the SAME core kernels as the broadcast
+    * path ([[graft.core.Bicubic]] / [[graft.core.Univariate1D]] /
+    * cspline) evaluate origin-sorted probes with a last-window fit cache
+    * — so table ≡ broadcast to the last bit. Probes whose window cannot
+    * be framed (boundary `undef` semantics) or with a missing/masked
+    * stencil cell yield NaN, matching the broadcast kernel.
     *
     * Requires regular, ascending axes (the common shape of lattices too
     * large to broadcast) of at least 2·halfWindow nodes. A GLOBAL
@@ -441,21 +441,6 @@ object GridInterpolator {
       else pAll.filter(col("_fx") >= 0.0 &&
         col("_fx") <= lit((nx - 1).toDouble) &&
         col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx - 1) && yFrame)
-    val offsets = for (di <- 0 until n; dj <- 0 until n)
-      yield struct(lit(di).as("_di"), lit(dj).as("_dj"))
-    // seam wrap of the stencil column key (periodic only)
-    def ciOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      if (periodic) pmod(c, lit(nx)) else c
-    val corners = p.select(col("_rid"), col("_wi"), col("_wj"),
-        explode(array(offsets: _*)).as("_d"))
-      .select(col("_rid"),
-        ciOf(col("_wi") + col("_d._di")).as("_ci"),
-        (col("_wj") + col("_d._dj")).as("_cj"),
-        col("_d._di").as("_di"), col("_d._dj").as("_dj"))
-    val agg = corners.join(cells, Seq("_ci", "_cj"))
-      .groupBy("_rid")
-      .agg(collect_list(struct(col("_di"), col("_dj"), col("_z")))
-        .as("_cells"))
     // periodic probes evaluate at the UNWRAPPED window coordinate
     // front + fx·step (fx - wi ∈ [halfWindow-1, halfWindow), always
     // inside the unwrapped xs frame); non-periodic keeps the raw x so
@@ -463,26 +448,24 @@ object GridInterpolator {
     val xEval =
       if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
       else col(xCol).cast("double")
-    val evalIn = p.select(col("_rid"), xEval.as("_x"),
+    import spark.implicits._
+    val tXY = WindowedTileJoin.DefaultTileXY
+    val probesT = p.select(col("_rid"), xEval.as("_x"),
         col(yCol).cast("double").as("_y"), col("_wi"), col("_wj"))
-      .join(agg, Seq("_rid"), "left")
-      // window-cache locality: runs of probes sharing a window evaluate
-      // against one fit instead of refitting per row
-      .sortWithinPartitions("_wi", "_wj")
-
-    val outSchema = StructType(Seq(
-      StructField("_rid", org.apache.spark.sql.types.LongType,
-        nullable = false),
-      StructField("_v", DoubleType, nullable = false)))
-    val enc: ExpressionEncoder[Row] =
-      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val hw = halfWindow
-    val m = method
-    val xf = xAxis.front; val xst = xAxis.step
-    val yf = yAxis.front; val yst = yAxis.step
-    val vals = evalIn.mapPartitions { iter =>
-      new WindowedTableEvaluator(iter, m, hw, xf, xst, yf, yst)
-    }(enc)
+      .as[(Long, Double, Double, Int, Int)]
+      .map { case (rid, x, y, wi, wj) =>
+        TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY), 0, 0,
+          rid, x, y, 0.0, 0.0, wi, wj, 0, 0)
+      }
+    val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 2,
+      n = n, halfWindow = halfWindow, tileXY = tXY,
+      tilePlane = WindowedTileJoin.DefaultTilePlane,
+      nx = nx, ny = yAxis.size, nz = 0, nu = 0, periodicX = periodic)
+    val vals = WindowedTileJoin.evaluate(spark, probesT, cellsT,
+      arity = 2, method = method, zMethod = "", uMethod = "", n = n,
+      tileXY = tXY, tilePlane = WindowedTileJoin.DefaultTilePlane,
+      xFront = xAxis.front, xStep = xAxis.step,
+      yFront = yAxis.front, yStep = yAxis.step)
 
     withId.join(vals, Seq("_rid"), "left")
       .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
@@ -493,16 +476,15 @@ object GridInterpolator {
     * trivariate semantics — windowed bicubic/spline in the (x, y) plane
     * on the two z-bracketing planes, then linear (or nearest) combine
     * along z (`pybind/windowed/trivariate.hpp:36-113`) — for lattices too
-    * large for the broadcast gate. [[bivariateTableWindowed]]'s stencil
-    * join extended with the z bracket: each framed probe fans out to
-    * 2·(2·halfWindow)² corner keys (72 at the default half-window — the
-    * same rows a 100-TB lattice must ship for the answer anyway), one
-    * shuffle equi-join on (_ci, _cj, _ck) pulls the stencil, groupBy
-    * reassembles both planes, and the typed eval stage runs the SAME
-    * kernels as the broadcast path per plane before the z combine.
-    * Probes outside the frame, and windows with missing/masked cells,
-    * yield NaN (boundary `undef`); a probe exactly on a z node (t = 0)
-    * needs only its own plane, matching the broadcast bracket collapse.
+    * large for the broadcast gate. [[bivariateTableWindowed]]'s
+    * tile-halo plan ([[WindowedTileJoin]]) extended with the z bracket:
+    * probes key by (window tile, z-plane tile), cells ship once per tile
+    * (+ xy halo band + one halo plane — replication ~1.2·(1+1/tilePlane),
+    * NOT the 72× per-probe stencil fan-out), and the per-tile eval runs
+    * the SAME kernels as the broadcast path per plane before the z
+    * combine. Probes outside the frame, and windows with missing/masked
+    * cells, yield NaN (boundary `undef`); a probe exactly on a z node
+    * (t = 0 or 1) needs only its own plane.
     */
   def trivariateTableWindowed(spark: SparkSession, probe: DataFrame,
                               xCol: String, yCol: String, zCol: String,
@@ -554,40 +536,26 @@ object GridInterpolator {
         col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
         col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(xAxis.size - 1) &&
         col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1))
-    val offsets = for (di <- 0 until n; dj <- 0 until n; dk <- 0 to 1)
-      yield struct(lit(di).as("_di"), lit(dj).as("_dj"), lit(dk).as("_dk"))
-    val corners = p.select(col("_rid"), col("_wi"), col("_wj"), col("_k0"),
-        explode(array(offsets: _*)).as("_d"))
-      .select(col("_rid"),
-        (col("_wi") + col("_d._di")).as("_ci"),
-        (col("_wj") + col("_d._dj")).as("_cj"),
-        (col("_k0") + col("_d._dk")).as("_ck"),
-        col("_d._di").as("_di"), col("_d._dj").as("_dj"),
-        col("_d._dk").as("_dk"))
-    val agg = corners.join(cells, Seq("_ci", "_cj", "_ck"))
-      .groupBy("_rid")
-      .agg(collect_list(struct(col("_di"), col("_dj"), col("_dk"),
-        col("_z"))).as("_cells"))
-    val evalIn = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
+    import spark.implicits._
+    val tXY = WindowedTileJoin.DefaultTileXY
+    val tPl = WindowedTileJoin.DefaultTilePlane
+    val probesT = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
         col(yCol).cast("double").as("_y"), col("_tz"), col("_wi"),
         col("_wj"), col("_k0"))
-      .join(agg, Seq("_rid"), "left")
-      .sortWithinPartitions("_wi", "_wj", "_k0")
-
-    val outSchema = StructType(Seq(
-      StructField("_rid", org.apache.spark.sql.types.LongType,
-        nullable = false),
-      StructField("_v", DoubleType, nullable = false)))
-    val enc: ExpressionEncoder[Row] =
-      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val hw = halfWindow
-    val m = method
-    val zm = zMethod
-    val xf = xAxis.front; val xst = xAxis.step
-    val yf = yAxis.front; val yst = yAxis.step
-    val vals = evalIn.mapPartitions { iter =>
-      new WindowedTableEvaluator3D(iter, m, zm, hw, xf, xst, yf, yst)
-    }(enc)
+      .as[(Long, Double, Double, Double, Int, Int, Int)]
+      .map { case (rid, x, y, tz, wi, wj, k0) =>
+        TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY),
+          Math.floorDiv(k0, tPl), 0, rid, x, y, tz, 0.0, wi, wj, k0, 0)
+      }
+    val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 3,
+      n = n, halfWindow = halfWindow, tileXY = tXY, tilePlane = tPl,
+      nx = xAxis.size, ny = yAxis.size, nz = zAxis.size, nu = 0,
+      periodicX = false)
+    val vals = WindowedTileJoin.evaluate(spark, probesT, cellsT,
+      arity = 3, method = method, zMethod = zMethod, uMethod = "", n = n,
+      tileXY = tXY, tilePlane = tPl,
+      xFront = xAxis.front, xStep = xAxis.step,
+      yFront = yAxis.front, yStep = yAxis.step)
 
     withId.join(vals, Seq("_rid"), "left")
       .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
@@ -709,10 +677,11 @@ object GridInterpolator {
     * the (x, y) plane on the FOUR (z, u)-bracketing planes, then bilinear
     * (or nearest per axis) combine across (z, u) — the
     * `pybind/windowed/quadrivariate.hpp` semantics for lattices above the
-    * broadcast gate. The stencil join ships 4·(2·halfWindow)² corner rows
-    * per framed probe; plane identity is encoded as _dp = dk·2 + dl so
-    * the reassembly and [[WindowFit]] machinery are shared with the 3-D
-    * path. Exact-node brackets (t = 0) only require their own plane(s).
+    * broadcast gate. Runs on the [[WindowedTileJoin]] tile-halo plan
+    * (probes and cells co-grouped by (xy tile, z tile, u tile); cell
+    * replication ~1.2·(1+1/tilePlane)², NOT the 144× per-probe stencil
+    * fan-out). Exact-node brackets (t = 0 or 1) only require their own
+    * plane(s) — zero-weight planes are never assembled.
     */
   def quadrivariateTableWindowed(spark: SparkSession, probe: DataFrame,
                                  xCol: String, yCol: String, zCol: String,
@@ -771,43 +740,27 @@ object GridInterpolator {
         col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble) &&
         col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(xAxis.size - 1) &&
         col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1))
-    val offsets =
-      for (di <- 0 until n; dj <- 0 until n; dk <- 0 to 1; dl <- 0 to 1)
-        yield struct(lit(di).as("_di"), lit(dj).as("_dj"),
-          lit(dk).as("_dk"), lit(dl).as("_dl"))
-    val corners = p.select(col("_rid"), col("_wi"), col("_wj"), col("_k0"),
-        col("_l0"), explode(array(offsets: _*)).as("_d"))
-      .select(col("_rid"),
-        (col("_wi") + col("_d._di")).as("_ci"),
-        (col("_wj") + col("_d._dj")).as("_cj"),
-        (col("_k0") + col("_d._dk")).as("_ck"),
-        (col("_l0") + col("_d._dl")).as("_cl"),
-        col("_d._di").as("_di"), col("_d._dj").as("_dj"),
-        (col("_d._dk") * 2 + col("_d._dl")).as("_dp"))
-    val agg = corners.join(cells, Seq("_ci", "_cj", "_ck", "_cl"))
-      .groupBy("_rid")
-      .agg(collect_list(struct(col("_di"), col("_dj"), col("_dp"),
-        col("_z"))).as("_cells"))
-    val evalIn = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
+    import spark.implicits._
+    val tXY = WindowedTileJoin.DefaultTileXY
+    val tPl = WindowedTileJoin.DefaultTilePlane
+    val probesT = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
         col(yCol).cast("double").as("_y"), col("_tz"), col("_tu"),
         col("_wi"), col("_wj"), col("_k0"), col("_l0"))
-      .join(agg, Seq("_rid"), "left")
-      .sortWithinPartitions("_wi", "_wj", "_k0", "_l0")
-    val outSchema = StructType(Seq(
-      StructField("_rid", org.apache.spark.sql.types.LongType,
-        nullable = false),
-      StructField("_v", DoubleType, nullable = false)))
-    val enc: ExpressionEncoder[Row] =
-      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val hw = halfWindow
-    val m = method
-    val zm = zMethod
-    val um = uMethod
-    val xf = xAxis.front; val xst = xAxis.step
-    val yf = yAxis.front; val yst = yAxis.step
-    val vals = evalIn.mapPartitions { iter =>
-      new WindowedTableEvaluator4D(iter, m, zm, um, hw, xf, xst, yf, yst)
-    }(enc)
+      .as[(Long, Double, Double, Double, Double, Int, Int, Int, Int)]
+      .map { case (rid, x, y, tz, tu, wi, wj, k0, l0) =>
+        TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY),
+          Math.floorDiv(k0, tPl), Math.floorDiv(l0, tPl),
+          rid, x, y, tz, tu, wi, wj, k0, l0)
+      }
+    val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 4,
+      n = n, halfWindow = halfWindow, tileXY = tXY, tilePlane = tPl,
+      nx = xAxis.size, ny = yAxis.size, nz = zAxis.size, nu = uAxis.size,
+      periodicX = false)
+    val vals = WindowedTileJoin.evaluate(spark, probesT, cellsT,
+      arity = 4, method = method, zMethod = zMethod, uMethod = uMethod,
+      n = n, tileXY = tXY, tilePlane = tPl,
+      xFront = xAxis.front, xStep = xAxis.step,
+      yFront = yAxis.front, yStep = yAxis.step)
     withId.join(vals, Seq("_rid"), "left")
       .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
       .drop("_rid", "_v")
@@ -1183,53 +1136,6 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
   }
 }
 
-/** Per-partition evaluator behind
-  * [[GridInterpolator.bivariateTableWindowed]]: rebuilds each probe's
-  * (2·halfWindow)² window from the corner-join rows and evaluates the
-  * SAME kernels as [[BivariateKernel]] — [[graft.core.Bicubic]],
-  * cspline (spline_bilinear) or the separable
-  * [[graft.core.Univariate1D]] family — with a last-window cache (the
-  * input is sorted within partitions by window origin, so runs of
-  * probes sharing a window reuse one fit).
-  *
-  * Input rows: (_rid, _x, _y, _wi, _wj, _cells) where _cells is the
-  * collect_list of (di, dj, z) stencil entries (null when the corner
-  * join matched nothing). An incomplete window (missing/masked lattice
-  * cell) evaluates to NaN — the broadcast path's `undef` semantics.
-  */
-private[operators] final class WindowedTableEvaluator(
-    in: Iterator[Row], method: String, halfWindow: Int,
-    xFront: Double, xStep: Double, yFront: Double, yStep: Double)
-    extends Iterator[Row] {
-  private val n = 2 * halfWindow
-  private var lastWi = Int.MinValue
-  private var lastWj = Int.MinValue
-  private var built = false
-  private var fit: WindowFit = null // null after build = incomplete window
-
-  override def hasNext: Boolean = in.hasNext
-
-  override def next(): Row = {
-    val row = in.next()
-    Row(row.getLong(0), eval(row))
-  }
-
-  private def eval(row: Row): Double = {
-    if (row.isNullAt(5)) return Double.NaN
-    val wi = row.getInt(3)
-    val wj = row.getInt(4)
-    if (wi != lastWi || wj != lastWj || !built) {
-      lastWi = wi
-      lastWj = wj
-      built = true
-      fit = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront, yStep,
-        row.getSeq[Row](5), planeOf = null)
-    }
-    if (fit == null) Double.NaN
-    else fit.eval(row.getDouble(1), row.getDouble(2))
-  }
-}
-
 /** One assembled (2·halfWindow)² window's kernel: the SAME evaluation as
   * [[BivariateKernel]] — lazily-built [[graft.core.Bicubic]], per-row
   * separable [[graft.core.Univariate1D]] fits, or cspline
@@ -1281,6 +1187,7 @@ private[operators] final class WindowFit(method: String, n: Int,
     uniY.value(y)
   }
 
+  
   /** Mirror of [[BivariateKernel]].windowedSplineLinear. */
   private def splineLinear(x: Double, y: Double): Double = {
     val tmp = new Array[Double](n)
@@ -1293,178 +1200,5 @@ private[operators] final class WindowFit(method: String, n: Int,
       j += 1
     }
     Interpolate.cspline(ys, tmp, y)
-  }
-}
-
-private[operators] object WindowFit {
-  /** Assemble a window from (di, dj[, dk], value) corner-join rows.
-    * When `planeOf` is null the rows are 2-D (di, dj, z) triples; with
-    * `planeOf >= 0` the rows are (di, dj, dk, z) and only entries with
-    * dk == planeOf are taken. Returns null for an incomplete window
-    * (missing / masked lattice cell — boundary `undef` semantics).
-    */
-  def build(method: String, n: Int, wi: Int, wj: Int,
-            xFront: Double, xStep: Double, yFront: Double, yStep: Double,
-            cells: Seq[Row], planeOf: java.lang.Integer): WindowFit = {
-    val xs = Array.tabulate(n)(i => xFront + (wi + i) * xStep)
-    val ys = Array.tabulate(n)(j => yFront + (wj + j) * yStep)
-    val zz = Array.ofDim[Double](n, n)
-    val filled = Array.ofDim[Boolean](n, n)
-    var cnt = 0
-    val three = planeOf == null
-    val it = cells.iterator
-    while (it.hasNext) {
-      val c = it.next()
-      val take = three || c.getInt(2) == planeOf.intValue()
-      if (take) {
-        val di = c.getInt(0)
-        val dj = c.getInt(1)
-        if (!filled(di)(dj)) { filled(di)(dj) = true; cnt += 1 }
-        zz(di)(dj) = c.getDouble(if (three) 2 else 3)
-      }
-    }
-    if (cnt == n * n) new WindowFit(method, n, xs, ys, zz) else null
-  }
-}
-
-/** Streaming evaluation stage of
-  * [[GridInterpolator.trivariateTableWindowed]]: rebuilds the two
-  * z-bracketing (2·halfWindow)² windows per probe from the corner-join
-  * rows, evaluates each with [[WindowFit]] (the broadcast path's
-  * kernels), and combines along z (linear or nearest). Input sorted by
-  * (_wi, _wj, _k0), so runs of probes sharing the window pair reuse both
-  * fits. Rows: (_rid, _x, _y, _tz, _wi, _wj, _k0, _cells).
-  */
-private[operators] final class WindowedTableEvaluator3D(
-    in: Iterator[Row], method: String, zMethod: String, halfWindow: Int,
-    xFront: Double, xStep: Double, yFront: Double, yStep: Double)
-    extends Iterator[Row] {
-  private val n = 2 * halfWindow
-  private var lastWi = Int.MinValue
-  private var lastWj = Int.MinValue
-  private var lastK0 = Int.MinValue
-  private var built = false
-  private var fit0: WindowFit = null
-  private var fit1: WindowFit = null
-
-  override def hasNext: Boolean = in.hasNext
-
-  override def next(): Row = {
-    val row = in.next()
-    Row(row.getLong(0), eval(row))
-  }
-
-  private def eval(row: Row): Double = {
-    if (row.isNullAt(7)) return Double.NaN
-    val wi = row.getInt(4)
-    val wj = row.getInt(5)
-    val k0 = row.getInt(6)
-    if (wi != lastWi || wj != lastWj || k0 != lastK0 || !built) {
-      lastWi = wi; lastWj = wj; lastK0 = k0
-      built = true
-      val cells = row.getSeq[Row](7)
-      fit0 = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront,
-        yStep, cells, planeOf = 0)
-      fit1 = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront,
-        yStep, cells, planeOf = 1)
-    }
-    val x = row.getDouble(1)
-    val y = row.getDouble(2)
-    val t = row.getDouble(3)
-    zMethod match {
-      case "nearest" =>
-        val f = if (t <= 0.5) fit0 else fit1
-        if (f == null) Double.NaN else f.eval(x, y)
-      case _ =>
-        // exact-plane probes only need their own plane — matching the
-        // broadcast path, where findIndexes collapses the bracket. t = 1
-        // happens for probes exactly on the LAST z node (k0 clamps to
-        // size-2), where the answer is exactly plane 1 — mirroring the
-        // 4-D evaluator's zero-weight plane skip
-        if (t == 0.0) {
-          if (fit0 == null) Double.NaN else fit0.eval(x, y)
-        } else if (t == 1.0) {
-          if (fit1 == null) Double.NaN else fit1.eval(x, y)
-        } else if (fit0 == null || fit1 == null) Double.NaN
-        else {
-          val v0 = fit0.eval(x, y)
-          val v1 = fit1.eval(x, y)
-          v0 + t * (v1 - v0)
-        }
-    }
-  }
-}
-
-/** Streaming evaluation stage of
-  * [[GridInterpolator.quadrivariateTableWindowed]]: four (z, u)-plane
-  * [[WindowFit]]s (plane id _dp = dk·2 + dl), bilinear / per-axis nearest
-  * combine across (tz, tu); a plane is only required when its combine
-  * weight is nonzero. Rows:
-  * (_rid, _x, _y, _tz, _tu, _wi, _wj, _k0, _l0, _cells).
-  */
-private[operators] final class WindowedTableEvaluator4D(
-    in: Iterator[Row], method: String, zMethod: String, uMethod: String,
-    halfWindow: Int, xFront: Double, xStep: Double, yFront: Double,
-    yStep: Double) extends Iterator[Row] {
-  private val n = 2 * halfWindow
-  private var lastWi = Int.MinValue
-  private var lastWj = Int.MinValue
-  private var lastK0 = Int.MinValue
-  private var lastL0 = Int.MinValue
-  private var built = false
-  private val fits = new Array[WindowFit](4)
-
-  override def hasNext: Boolean = in.hasNext
-
-  override def next(): Row = {
-    val row = in.next()
-    Row(row.getLong(0), eval(row))
-  }
-
-  private def eval(row: Row): Double = {
-    if (row.isNullAt(9)) return Double.NaN
-    val wi = row.getInt(5)
-    val wj = row.getInt(6)
-    val k0 = row.getInt(7)
-    val l0 = row.getInt(8)
-    if (wi != lastWi || wj != lastWj || k0 != lastK0 || l0 != lastL0 ||
-        !built) {
-      lastWi = wi; lastWj = wj; lastK0 = k0; lastL0 = l0
-      built = true
-      val cells = row.getSeq[Row](9)
-      var p = 0
-      while (p < 4) {
-        fits(p) = WindowFit.build(method, n, wi, wj, xFront, xStep, yFront,
-          yStep, cells, planeOf = p)
-        p += 1
-      }
-    }
-    val x = row.getDouble(1)
-    val y = row.getDouble(2)
-    val tz = row.getDouble(3)
-    val tu = row.getDouble(4)
-    // per-axis combine weights (nearest snaps to 0/1)
-    def weights(t: Double, m: String): (Double, Double) = m match {
-      case "nearest" => if (t <= 0.5) (1.0, 0.0) else (0.0, 1.0)
-      case _ => (1.0 - t, t)
-    }
-    val (wz0, wz1) = weights(tz, zMethod)
-    val (wu0, wu1) = weights(tu, uMethod)
-    var acc = 0.0
-    var dk = 0
-    while (dk < 2) {
-      var dl = 0
-      while (dl < 2) {
-        val w = (if (dk == 0) wz0 else wz1) * (if (dl == 0) wu0 else wu1)
-        if (w != 0.0) {
-          val f = fits(dk * 2 + dl)
-          if (f == null) return Double.NaN
-          acc += w * f.eval(x, y)
-        }
-        dl += 1
-      }
-      dk += 1
-    }
-    acc
   }
 }

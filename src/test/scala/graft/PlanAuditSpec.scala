@@ -126,30 +126,36 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
-  test("grid-as-table windowed bicubic: distributed stencil join, no " +
-      "grid collect") {
-    val df = SparkEntry.queries("q_bicubic_biggrid")(spark, dir)
-    val p = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // stencil corner join + final reassembly join; the lattice stays a
-    // Range-derived distributed relation, never a collected local one
-    assert(p.split("Join").length >= 3, p.take(3000))
-    assert(!p.contains("LocalTableScan"), "lattice was collected:\n" +
-      p.take(3000))
-    assert(p.contains("Generate"), "stencil explode missing:\n" +
-      p.take(3000))
+  test("grid-as-table windowed paths: tile-halo cogroup, NO per-probe " +
+      "stencil explode, no grid collect") {
+    // the windowed table paths co-group probes and cells by window tile:
+    // the plan must show the CoGroup and must NOT fan each probe out to
+    // its 36/72/144 stencil keys (a Generate/explode over the probe
+    // table — the r4 shuffle-amplification shape this replaced)
+    for (q <- Seq("q_bicubic_biggrid", "q_bicubic_biggrid_seam",
+        "q_bicubic3d_biggrid", "q_bicubic4d_biggrid")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("LocalTableScan"), s"$q lattice was collected:\n" +
+        p.take(3000))
+      assert(p.contains("CoGroup"), s"$q tile-halo cogroup missing:\n" +
+        p.take(3000))
+      assert(!p.contains("Generate"), s"$q per-probe stencil explode " +
+        "reappeared:\n" + p.take(3000))
+    }
   }
 
-  test("3-D/4-D grid-as-table windowed paths: no grid collect either") {
-    for (q <- Seq("q_bicubic3d_biggrid", "q_quadrilinear_biggrid",
-        "q_bicubic4d_biggrid")) {
+  test("GEOMETRIC grid-as-table paths keep the small corner join") {
+    // 4/8/16-corner fan-out is the right shape for the geometric paths
+    for (q <- Seq("q_quadrilinear_biggrid", "q_trilinear_biggrid")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(p.split("Join").length >= 3, s"$q:\n" + p.take(3000))
       assert(!p.contains("LocalTableScan"), s"$q lattice was collected:\n" +
         p.take(3000))
-      assert(p.contains("Generate"), s"$q stencil explode missing:\n" +
+      assert(p.contains("Generate"), s"$q corner explode missing:\n" +
         p.take(3000))
     }
   }
