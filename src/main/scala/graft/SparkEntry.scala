@@ -1177,6 +1177,42 @@ object SparkEntry {
           col("corrected_signed_area").as("csa"),
           col("rev_head_x"), col("rev_head_y"))
     }),
+    "q_geom_transform" -> ((s, dir) => {
+      // the reference's transform/convert + counting accessor tail
+      // (transform_geographic.cpp boost::geometry::convert,
+      // num_geometries / num_interior_rings, unique) as PURE COLUMN
+      // functions over the table encoding: box→ring conversion (boost
+      // ll,ul,ur,lr vertex order), member count of a multi-geometry
+      // column, hole count of an outer::holes polygon column, and
+      // consecutive-duplicate removal (closing point preserved)
+      val supp = s.read.parquet(t(dir, "supplier"))
+      val r = SparkEntry.rectPairs(supp)
+      import graft.functions.gf
+      def e(i: Int) = element_at(col("ring_a"), i)
+      val boxRing = gf.box_to_ring(e(1), e(2), e(1) + 4.0, e(2) + 4.0)
+      val multi = when(col("id") % 2 === 0,
+        array(col("ring_a"), col("ring_b")))
+        .otherwise(array(col("ring_a")))
+      val hole = array(e(1) + 1.0, e(2) + 1.0, e(1) + 2.0, e(2) + 1.0,
+        e(1) + 2.0, e(2) + 2.0, e(1) + 1.0, e(2) + 2.0)
+      val poly = when(col("id") % 3 === 0, array(col("ring_a"), hole))
+        .otherwise(array(col("ring_a")))
+      // consecutive duplicate of vertex 2; every 5th row also appends
+      // the closing point (equal to the head) — unique must PRESERVE it
+      val dup0 = array(e(1), e(2), e(3), e(4), e(3), e(4), e(5), e(6),
+        e(7), e(8))
+      val dup = when(col("id") % 5 === 0,
+        concat(dup0, array(e(1), e(2)))).otherwise(dup0)
+      r.select(col("id"),
+        size(boxRing).as("box_ring_len"),
+        element_at(boxRing, 3).as("box_v2_x"),
+        element_at(boxRing, 4).as("box_v2_y"),
+        element_at(boxRing, 7).as("box_v4_x"),
+        gf.num_geometries(multi).as("n_geoms"),
+        gf.num_interior_rings(poly).as("n_holes"),
+        gf.unique_vertex_count(col("ring_a")).as("uniq_plain"),
+        gf.unique_vertex_count(dup).as("uniq_dedup"))
+    }),
     "q_point_distance" -> ((s, dir) => {
       // for_each_point_distance analog: distance of scattered points to a
       // rectangle ring — interval closed form is the exact oracle (inside
@@ -2393,6 +2429,18 @@ object SparkEntry {
           | CASE WHEN id % 3 = 0 THEN 0.0 ELSE 16.0 END AS csa,
           | CASE WHEN id % 3 = 0 THEN ax1 ELSE ax0 END AS rev_head_x,
           | ay1 AS rev_head_y
+          |FROM r""".stripMargin.replace("\n", " ")),
+
+      // accessor-tail closed forms: box→ring vertex order pins the
+      // upper-left (ax0, ay1) and lower-right (ax1) corners; the counts
+      // and unique come straight from the planted fixture
+      "q_geom_transform" -> (SparkEntry.rectPairsSqlPrefix +
+        """SELECT id, 8 AS box_ring_len,
+          | ax0 AS box_v2_x, ay1 AS box_v2_y, ax1 AS box_v4_x,
+          | CASE WHEN id % 2 = 0 THEN 2 ELSE 1 END AS n_geoms,
+          | CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS n_holes,
+          | 4 AS uniq_plain,
+          | CASE WHEN id % 5 = 0 THEN 5 ELSE 4 END AS uniq_dedup
           |FROM r""".stripMargin.replace("\n", " ")),
 
       "q_geom_predicates" -> (SparkEntry.rectPairsSqlPrefix +

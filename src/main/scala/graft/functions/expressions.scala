@@ -202,4 +202,50 @@ object gf {
 
   def ecef_distance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
     col(EcefDistance(expr(lon1), expr(lat1), expr(lon2), expr(lat2)))
+
+  // ---- geometry accessor tail --------------------------------------------
+  // The reference binds these as unary algorithms over opaque C++
+  // geometry objects (`cxx/src/pybind/geometry/geographic/algorithm/
+  // transform_geographic.cpp`, `num_geometries_geographic.cpp`,
+  // `num_interior_rings_geographic.cpp`, `unique_geographic.cpp`).
+  // In the table encoding (interleaved-coordinate arrays; polygons as
+  // array-of-rings outer::holes; multis as array-of-geometries) they are
+  // pure Catalyst column functions — whole-stage-codegen, no kernels.
+
+  /** `transform`/convert of a box to its ring (boost::geometry::convert
+    * box→ring vertex order: lower-left, upper-left, upper-right,
+    * lower-right; closing point implicit in the unclosed storage).
+    */
+  def box_to_ring(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    org.apache.spark.sql.functions.array(x0, y0, x0, y1, x1, y1, x1, y0)
+
+  /** boost num_geometries over a multi-geometry column
+    * (array-of-geometries): the member count, 0 when empty/null.
+    */
+  def num_geometries(multi: Column): Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(size(multi), lit(0))
+  }
+
+  /** boost num_interior_rings over a polygon column (array-of-rings,
+    * element 1 = outer, rest = holes).
+    */
+  def num_interior_rings(poly: Column): Column = {
+    import org.apache.spark.sql.functions._
+    greatest(coalesce(size(poly), lit(0)) - 1, lit(0))
+  }
+
+  /** Vertex count after boost::geometry::unique — consecutive duplicate
+    * points removed; a closing point equal to the FIRST vertex is not
+    * consecutive-duplicate and is preserved, matching the reference's
+    * ring note. Pure higher-order column functions (filter/sequence).
+    */
+  def unique_vertex_count(ring: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val n = (coalesce(size(ring), lit(0)) / 2).cast("int")
+    when(n <= 1, n).otherwise(lit(1) +
+      size(filter(sequence(lit(1), n - 1), i =>
+        element_at(ring, i * 2 + 1) =!= element_at(ring, i * 2 - 1) ||
+          element_at(ring, i * 2 + 2) =!= element_at(ring, i * 2))))
+  }
 }

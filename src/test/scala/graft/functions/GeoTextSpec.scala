@@ -67,3 +67,49 @@ class GeoTextSpec extends AnyFunSuite {
     assert(parsed(1) === Seq(2.0, 2.0, 4.0, 2.0, 4.0, 4.0, 2.0, 4.0))
   }
 }
+
+/** Geometry accessor tail (reference transform/num_geometries/
+  * num_interior_rings/unique) as pure column functions.
+  */
+class AccessorTailSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.operators.SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.gf
+
+  test("box_to_ring follows boost convert vertex order (ll,ul,ur,lr)") {
+    import spark.implicits._
+    val out = Seq((1.0, 2.0, 5.0, 7.0)).toDF("x0", "y0", "x1", "y1")
+      .select(gf.box_to_ring(col("x0"), col("y0"), col("x1"), col("y1")))
+      .head().getSeq[Double](0)
+    assert(out === Seq(1.0, 2.0, 1.0, 7.0, 5.0, 7.0, 5.0, 2.0))
+  }
+
+  test("num_geometries / num_interior_rings count members and holes") {
+    import spark.implicits._
+    val ring = Seq(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0)
+    val hole = Seq(1.0, 1.0, 2.0, 1.0, 2.0, 2.0, 1.0, 2.0)
+    val df = Seq(
+      (Seq(ring), Seq(ring)),              // single, no holes
+      (Seq(ring, hole), Seq(ring, hole)),  // two members / one hole
+      (Seq.empty[Seq[Double]], Seq.empty[Seq[Double]]))
+      .toDF("multi", "poly")
+    val rows = df.select(gf.num_geometries(col("multi")),
+      gf.num_interior_rings(col("poly"))).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((1, 0), (2, 1), (0, 0)))
+  }
+
+  test("unique_vertex_count drops consecutive duplicates, keeps closing") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0),                     // 3 distinct
+      Seq(0.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 1.0),           // one dup
+      Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0),           // closed ring
+      Seq(2.0, 3.0),                                         // single point
+      Seq.empty[Double])
+      .toDF("ring")
+    val counts = df.select(gf.unique_vertex_count(col("ring")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(counts === Seq(3, 3, 4, 1, 0))
+  }
+}
