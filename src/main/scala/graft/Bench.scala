@@ -61,11 +61,23 @@ object Bench {
     // rather than to whichever name sorts first
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
 
-    // per-operator timings (one pass each, after the shared warmup)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // per-operator timings: TWO full passes, min per query. A single
+    // shot is at the mercy of a transient degraded-host window — r4's
+    // artifact run reported 13.8 s for a query that re-measures at
+    // 1.6 s warm, costing a full diagnostic cycle; the second pass also
+    // removes first-touch effects a shared warmup can't cover. The
+    // passes run back-to-back over the same sorted order, so a host
+    // dip degrades the same region of both passes at most once.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def passTimes(): Seq[(String, Double)] = named.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = passTimes().toMap
+    val pass2 = passTimes().toMap
+    val results = named.map { case (n, _) =>
+      n -> math.min(pass1(n), pass2(n))
     }
 
     // ANN quality gate: measured recall@5 of multi-table LSH (planes=6,
@@ -268,7 +280,8 @@ object Bench {
          |regime where the pre-shuffle pays; the default stays off for
          |single-node deployments.
          |
-         |Per-query single-shot wall times at `$sfDir`, local[$cpus], are
+         |Per-query wall times at `$sfDir`, local[$cpus] (min of two full
+         |passes — single shots are unreliable on this shared host) are
          |in the driver's BENCH_r{N}.json.
          |""".stripMargin
     try {

@@ -872,6 +872,30 @@ object SparkEntry {
           "bicubic")
         .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
+    "q_bilinear_irregular" -> ((s, dir) => {
+      // IRREGULAR-axis grid-as-table path: quadratically spaced axes
+      // (node i at i(i+1)/2), probes at exact node midpoints so both
+      // bracket weights are exactly 0.5 (the midpoint of consecutive
+      // triangular numbers is (i0+1)²/2, all fp-exact small numbers) —
+      // interp = mean of the 4 corners, same closed form as the regular
+      // biggrid oracle but found via the broadcast-axis binary search
+      val nn = 21
+      def v(i: org.apache.spark.sql.Column) =
+        (i * (i + 1) / 2).cast("double")
+      val gridTable = s.range(nn.toLong * nn).select(
+        v(floor(col("id") / nn)).as("lon"),
+        v(col("id") % nn).as("lat"),
+        ((floor(col("id") / nn) * 31 + (col("id") % nn) * 17) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val i0 = col("o_orderkey") % 20
+      val j0 = col("o_orderkey") * 7 % 20
+      val probe = orders.select(col("o_orderkey"),
+        (((i0 + 1) * (i0 + 1)).cast("double") / 2.0).as("x"),
+        (((j0 + 1) * (j0 + 1)).cast("double") / 2.0).as("y"))
+      GridInterpolator.bivariateTable(s, probe, "x", "y", gridTable)
+        .select(col("o_orderkey"), col("value").as("interp"))
+    }),
     "q_bilinear_biggrid_seam" -> ((s, dir) => {
       // PERIODIC-LONGITUDE grid-as-table path: a full-circle 40-column
       // lattice (step 1, xPeriod 40) probed at half-cell offsets in
@@ -2178,6 +2202,20 @@ object SparkEntry {
 
       "q_bicubic3d_biggrid" ->
         SparkEntry.midStencil3dSql(SparkEntry.bicubicMidStencil),
+
+      // node-midpoint probes on the irregular lattice: both bracket
+      // weights exactly 0.5 -> mean of the 4 corners, fp-exact
+      "q_bilinear_irregular" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 20 AS INT) AS i0,
+          |  CAST(o_orderkey * 7 % 20 AS INT) AS j0 FROM orders)
+          |SELECT o_orderkey,
+          | (CAST((i0*31 + j0*17) % 97 AS DOUBLE)
+          |  + CAST((i0*31 + (j0+1)*17) % 97 AS DOUBLE)
+          |  + CAST(((i0+1)*31 + j0*17) % 97 AS DOUBLE)
+          |  + CAST(((i0+1)*31 + (j0+1)*17) % 97 AS DOUBLE)) / 4.0
+          |   AS interp
+          |FROM p""".stripMargin.replace("\n", " "),
 
       // half-cell probes on the full-circle lattice: bilinear = mean of
       // the 4 corners with the seam cell's right column wrapping to 0

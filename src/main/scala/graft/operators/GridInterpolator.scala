@@ -165,10 +165,12 @@ object GridInterpolator {
     * probes with a masked/missing corner cell, yield NaN — the broadcast
     * path's semantics.
     *
-    * Requires regular ascending axes (the common shape of lattices too
-    * large to broadcast); irregular grids belong on the broadcast path
-    * (`GridLoader.grid2d` + [[bivariate]]). A GLOBAL lon-periodic lattice
-    * — the single most common huge grid — is declared by `xPeriod`
+    * Accepts regular ascending axes (pure column-arithmetic cell keys),
+    * IRREGULAR ascending axes (the axis value arrays — O(nx + ny), the
+    * d-th root of the lattice — are broadcast and the bracket comes from
+    * the same `Axis.findIndexes` binary search as the broadcast kernel;
+    * the join plan is identical), and a GLOBAL lon-periodic lattice —
+    * the single most common huge grid — declared by `xPeriod`
     * (e.g. 360.0): the lattice must cover the full circle
     * (nx·step = period), probe coordinates normalize into the period
     * (`math/axis.hpp:294-333` semantics), the x bracket never rejects,
@@ -182,18 +184,47 @@ object GridInterpolator {
                      xPeriod: Double = 0.0): DataFrame = {
     val (lonCol, latCol, vCol, xAxis, yAxis) =
       resolveGrid2dTable(gridTable, valueCol)
-    require(xAxis.isRegular && yAxis.isRegular && xAxis.size >= 2 &&
-      yAxis.size >= 2 && !xAxis.isPeriodic && !yAxis.isPeriodic &&
+    require(xAxis.size >= 2 && yAxis.size >= 2 &&
+      !xAxis.isPeriodic && !yAxis.isPeriodic &&
       xAxis.front < xAxis.back && yAxis.front < yAxis.back,
-      "bivariateTable requires regular ascending axes; load irregular " +
-        "grids through GridLoader.grid2d (broadcast)")
+      "bivariateTable requires ascending axes of >= 2 nodes")
     val periodic = xPeriod != 0.0
+    val regular = xAxis.isRegular && yAxis.isRegular
+    require(regular || !periodic,
+      "xPeriod requires a regular full-circle lattice")
     val nx = xAxis.size
     if (periodic) require(
       math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
       s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
         s"${nx * xAxis.step}")
 
+    val withId = withStableId(probe)
+    val (cells, corners) =
+      if (regular) regularCorners2d(withId, gridTable, xCol, yCol, lonCol,
+        latCol, vCol, xAxis, yAxis, periodic)
+      else irregularCorners2d(spark, withId, gridTable, xCol, yCol, lonCol,
+        latCol, vCol, xAxis, yAxis)
+    // inner corner join + 4-corner completeness check: a masked cell
+    // (absent lattice row) NaNs the probe, like the dense grid's NaN cells
+    val agg = corners.join(cells, Seq("_ci", "_cj"))
+      .groupBy("_rid")
+      .agg(sum(col("_w") * col("_z")).as("_v"), count(lit(1)).as("_n"))
+      .select(col("_rid"),
+        when(col("_n") === 4, col("_v")).otherwise(lit(Double.NaN)).as("_v"))
+    withId.join(agg, Seq("_rid"), "left")
+      .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
+      .drop("_rid", "_v")
+  }
+
+  /** Regular-axis corner fan-out of [[bivariateTable]]: affine cell keys
+    * and bracket — pure column arithmetic, fully codegen.
+    */
+  private def regularCorners2d(withId: DataFrame, gridTable: DataFrame,
+                               xCol: String, yCol: String, lonCol: String,
+                               latCol: String, vCol: String,
+                               xAxis: Axis, yAxis: Axis, periodic: Boolean)
+      : (DataFrame, DataFrame) = {
+    val nx = xAxis.size
     // distributed cell table keyed by integer lattice indices
     val cells = gridTable.select(
       round((col(lonCol).cast("double") - lit(xAxis.front)) /
@@ -201,8 +232,6 @@ object GridInterpolator {
       round((col(latCol).cast("double") - lit(yAxis.front)) /
         lit(yAxis.step)).cast("int").as("_cj"),
       col(vCol).cast("double").as("_z"))
-
-    val withId = withStableId(probe)
     val fxRaw = (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
     // periodic: normalize into [0, nx) cell units — every x frames
     val fx = if (periodic) pmod(fxRaw, lit(nx.toDouble)) else fxRaw
@@ -243,16 +272,56 @@ object GridInterpolator {
           (col("_tx") * col("_ty")).as("_w")))).as("_c"))
       .select(col("_rid"), col("_c._ci").as("_ci"), col("_c._cj").as("_cj"),
         col("_c._w").as("_w"))
-    // inner corner join + 4-corner completeness check: a masked cell
-    // (absent lattice row) NaNs the probe, like the dense grid's NaN cells
-    val agg = corners.join(cells, Seq("_ci", "_cj"))
-      .groupBy("_rid")
-      .agg(sum(col("_w") * col("_z")).as("_v"), count(lit(1)).as("_n"))
-      .select(col("_rid"),
-        when(col("_n") === 4, col("_v")).otherwise(lit(Double.NaN)).as("_v"))
-    withId.join(agg, Seq("_rid"), "left")
-      .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
-      .drop("_rid", "_v")
+    (cells, corners)
+  }
+
+  /** Irregular-axis corner fan-out of [[bivariateTable]]: the axis value
+    * arrays (O(nx + ny) — the d-th root of the lattice, NOT the lattice)
+    * are broadcast, cell keys come from `Axis.findIndex` and probe
+    * brackets + weights from the SAME `Axis.findIndexes` binary search
+    * and (x − x0)/(x1 − x0) arithmetic as the broadcast geometric kernel
+    * (`container.hpp:383-404` lower_bound semantics) — so table ≡
+    * broadcast on irregular lattices too. The downstream join plan is
+    * byte-identical to the regular path.
+    */
+  private def irregularCorners2d(spark: SparkSession, withId: DataFrame,
+                                 gridTable: DataFrame, xCol: String,
+                                 yCol: String, lonCol: String,
+                                 latCol: String, vCol: String,
+                                 xAxis: Axis, yAxis: Axis)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val bcX = spark.sparkContext.broadcast(xAxis)
+    val bcY = spark.sparkContext.broadcast(yAxis)
+    val cells = gridTable.select(col(lonCol).cast("double"),
+        col(latCol).cast("double"), col(vCol).cast("double"))
+      .as[(Double, Double, Double)]
+      .flatMap { case (x, y, z) =>
+        val ci = bcX.value.findIndex(x, bounded = false)
+        val cj = bcY.value.findIndex(y, bounded = false)
+        if (ci >= 0 && cj >= 0) Iterator.single((ci, cj, z))
+        else Iterator.empty
+      }.toDF("_ci", "_cj", "_z")
+    val corners = withId.select(col("_rid"),
+        col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+      .as[(Long, Double, Double)]
+      .flatMap { case (rid, x, y) =>
+        val ax = bcX.value
+        val ay = bcY.value
+        (ax.findIndexes(x), ay.findIndexes(y)) match {
+          case (Some((i0, i1)), Some((j0, j1))) =>
+            val x0 = ax(i0); val x1 = ax(i1)
+            val y0 = ay(j0); val y1 = ay(j1)
+            val tx = if (x1 == x0) 0.0 else (x - x0) / (x1 - x0)
+            val ty = if (y1 == y0) 0.0 else (y - y0) / (y1 - y0)
+            Iterator((rid, i0, j0, (1 - tx) * (1 - ty)),
+              (rid, i0, j1, (1 - tx) * ty),
+              (rid, i1, j0, tx * (1 - ty)),
+              (rid, i1, j1, tx * ty))
+          case _ => Iterator.empty
+        }
+      }.toDF("_rid", "_ci", "_cj", "_w")
+    (cells, corners)
   }
 
   /** 3-D grid-as-table trilinear interpolation: [[bivariateTable]]'s

@@ -145,6 +145,46 @@ class IngestionSpec extends AnyFunSuite {
     assert(viaTable.values.exists(v => !v.isNaN))
   }
 
+  test("bivariateTable on IRREGULAR axes ≡ broadcast bilinear") {
+    // quadratically spaced axes (v_i = i(i+1)/2): the table path's
+    // broadcast-axis binary search must reproduce the broadcast kernel,
+    // including NaN faces (out-of-range probes, masked cell)
+    val n = 15
+    def v(i: org.apache.spark.sql.Column) = (i * (i + 1) / 2).cast("double")
+    val gridTable = spark.range(n.toLong * n).select(
+      v(floor(col("id") / n)).as("lon"),
+      v(col("id") % n).as("lat"),
+      ((floor(col("id") / n) * 13 + (col("id") % n) * 7) % 31)
+        .cast("double").as("sst"))
+      .filter(!(col("lon") === 15.0 && col("lat") === 15.0)) // mask (5,5)
+    val maxV = n * (n - 1) / 2.0 // 105
+    val probes = (0 until 300).map { k =>
+      val x = (k * 37 % 1150) / 10.0 - 5.0 // -5 .. 110 (incl. o-o-r)
+      val y = (k * 53 % 1150) / 10.0 - 5.0
+      (k.toLong, x, y)
+    }.toDF("qid", "x", "y")
+    val viaTable = GridInterpolator
+      .bivariateTable(spark, probes, "x", "y", gridTable)
+      .select(col("qid"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g = GridLoader.grid2d(gridTable)
+    assert(!g.xAxis.isRegular && !g.yAxis.isRegular)
+    val viaBroadcast = GridInterpolator
+      .bivariate(spark, probes, "x", "y", g, "bilinear")
+      .select(col("qid"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaTable.keySet === viaBroadcast.keySet)
+    var nans = 0
+    viaTable.foreach { case (qid, v) =>
+      val b = viaBroadcast(qid)
+      if (v.isNaN || b.isNaN) {
+        assert(v.isNaN === b.isNaN, s"qid $qid: $v vs $b"); nans += 1
+      } else assert(math.abs(v - b) <= 1e-12, s"qid $qid: $v vs $b")
+    }
+    assert(nans > 0 && viaTable.values.exists(v => !v.isNaN))
+    assert(maxV === 105.0)
+  }
+
   test("bivariateTableWindowed ≡ broadcast for bicubic and akima") {
     // the table path evaluates the SAME core kernels on the SAME window,
     // so agreement is exact (bit-for-bit), including every NaN face:
