@@ -2006,6 +2006,27 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
 
+    "q_akima_biggrid" -> ((s, dir) => {
+      // the q_akima_mid quadratic-field collapse on the grid-as-TABLE
+      // tile-halo path: akima rides the same WindowFit separable
+      // dispatch as bicubic, so the closed-form Hermite oracle
+      // value-checks the distributed window assembly for the whole
+      // univariate method family (the former rows-only q_akima_grid
+      // face, now value-gated)
+      val gridTable = s.range(41L * 41L).select(
+        floor(col("id") / 41).cast("double").as("lon"),
+        (col("id") % 41).cast("double").as("lat"),
+        (floor(col("id") / 41) * floor(col("id") / 41) +
+          (col("id") % 41) * (col("id") % 41)).cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 34) + 3).cast("double").plus(0.25).as("x"),
+        ((col("o_orderkey") * 7 % 34) + 3).cast("double").plus(0.25).as("y"))
+      GridInterpolator.bivariateTableWindowed(s, probe, "x", "y", gridTable,
+          "akima")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+
     // ======== flagship pipeline (rows-only; verified in ScalaTest) ========
     "q_tile_pipeline" -> ((s, dir) => {
       val images = graft.pipeline.ImageTableGen.generate(s, 64, 16)
@@ -2315,6 +2336,19 @@ object SparkEntry {
       // the basis values are exact: h00=0.84375 h01=0.15625 h10=0.140625
       // h11=-0.046875 — H(i) = h00·i² + h01·(i+1)² + h10·2i + h11·(2i+2)
       "q_akima_mid" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 34 + 3 AS INT) AS i0,
+          |  CAST(o_orderkey * 7 % 34 + 3 AS INT) AS j0 FROM orders)
+          |SELECT o_orderkey, round(CAST(
+          |  (0.84375 * i0 * i0 + 0.15625 * (i0 + 1) * (i0 + 1)
+          |   + 0.140625 * 2 * i0 - 0.046875 * (2 * i0 + 2))
+          |  + (0.84375 * j0 * j0 + 0.15625 * (j0 + 1) * (j0 + 1)
+          |   + 0.140625 * 2 * j0 - 0.046875 * (2 * j0 + 2))
+          | AS DOUBLE), 6) AS interp
+          |FROM p""".stripMargin.replace("\n", " "),
+
+      // same Hermite collapse, evaluated by the tile-halo table path
+      "q_akima_biggrid" ->
         """WITH p AS (SELECT o_orderkey,
           |  CAST(o_orderkey % 34 + 3 AS INT) AS i0,
           |  CAST(o_orderkey * 7 % 34 + 3 AS INT) AS j0 FROM orders)
