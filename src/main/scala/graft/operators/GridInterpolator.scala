@@ -553,7 +553,9 @@ object GridInterpolator {
     * the SAME kernels as the broadcast path per plane before the z
     * combine. Probes outside the frame, and windows with missing/masked
     * cells, yield NaN (boundary `undef`); a probe exactly on a z node
-    * (t = 0 or 1) needs only its own plane.
+    * (t = 0 or 1) needs only its own plane. A GLOBAL lon-periodic
+    * lattice is declared by `xPeriod` exactly as on
+    * [[bivariateTableWindowed]].
     */
   def trivariateTableWindowed(spark: SparkSession, probe: DataFrame,
                               xCol: String, yCol: String, zCol: String,
@@ -562,7 +564,8 @@ object GridInterpolator {
                               zMethod: String = "linear",
                               halfWindow: Int = 3,
                               zColName: String = "", valueCol: String = "",
-                              outputCol: String = "value"): DataFrame = {
+                              outputCol: String = "value",
+                              xPeriod: Double = 0.0): DataFrame = {
     require(!geometricMethods.contains(method),
       s"method $method is geometric — use trivariateTable")
     require(halfWindow >= 1, "halfWindow must be >= 1")
@@ -573,6 +576,15 @@ object GridInterpolator {
     require(xAxis.size >= n && yAxis.size >= n,
       "trivariateTableWindowed requires >= 2*halfWindow nodes per plane " +
         "axis")
+    // periodic longitude: same contract and mechanics as the 2-D path —
+    // full-circle lattice, probe normalization, seam-wrapped stencil
+    // columns through the tile-halo fan-out, unwrapped evaluation frame
+    val periodic = xPeriod != 0.0
+    val nx = xAxis.size
+    if (periodic) require(
+      math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
+      s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
+        s"${nx * xAxis.step}")
 
     val cells = gridTable.select(
       round((col(lonCol).cast("double") - lit(xAxis.front)) /
@@ -586,12 +598,19 @@ object GridInterpolator {
     val withId = withStableId(probe)
     def frac(c: String, a: Axis) =
       (col(c).cast("double") - lit(a.front)) / lit(a.step)
-    val p = withId
-      .withColumn("_fx", frac(xCol, xAxis))
+    val fx =
+      if (periodic) pmod(frac(xCol, xAxis), lit(nx.toDouble))
+      else frac(xCol, xAxis)
+    val i0 =
+      if (periodic)
+        when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
+          .otherwise(floor(col("_fx")).cast("int")).cast("int")
+      else least(floor(col("_fx")).cast("int"), lit(nx - 2))
+    val pAll = withId
+      .withColumn("_fx", fx)
       .withColumn("_fy", frac(yCol, yAxis))
       .withColumn("_fz", frac(zCol, zAxis))
-      .withColumn("_i0",
-        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_i0", i0)
       .withColumn("_j0",
         least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
       .withColumn("_k0",
@@ -599,16 +618,22 @@ object GridInterpolator {
       .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
       .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
       .withColumn("_tz", col("_fz") - col("_k0"))
-      .filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
-        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
-        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(xAxis.size - 1) &&
-        col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1))
+    val yzFrame =
+      col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+      col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
+      col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
+    val p =
+      if (periodic) pAll.filter(yzFrame)
+      else pAll.filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((nx - 1).toDouble) &&
+        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx - 1) && yzFrame)
+    val xEval =
+      if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
+      else col(xCol).cast("double")
     import spark.implicits._
     val tXY = WindowedTileJoin.DefaultTileXY
     val tPl = WindowedTileJoin.DefaultTilePlane
-    val probesT = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
+    val probesT = p.select(col("_rid"), xEval.as("_x"),
         col(yCol).cast("double").as("_y"), col("_tz"), col("_wi"),
         col("_wj"), col("_k0"))
       .as[(Long, Double, Double, Double, Int, Int, Int)]
@@ -619,7 +644,7 @@ object GridInterpolator {
     val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 3,
       n = n, halfWindow = halfWindow, tileXY = tXY, tilePlane = tPl,
       nx = xAxis.size, ny = yAxis.size, nz = zAxis.size, nu = 0,
-      periodicX = false)
+      periodicX = periodic)
     val vals = WindowedTileJoin.evaluate(spark, probesT, cellsT,
       arity = 3, method = method, zMethod = zMethod, uMethod = "", n = n,
       tileXY = tXY, tilePlane = tPl,

@@ -575,6 +575,39 @@ class PeriodicSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("3-D grid-as-table windowed ≡ broadcast across the seam") {
+    // lon-periodic 3-D lattice: bicubic in-plane + linear z combine must
+    // wrap the seam on the table path exactly like the broadcast kernel
+    val lonAxis = Axis.regular(-180.0, 175.0, 72, period = 360.0)
+    val latAxis = Axis.regular(-85.0, 85.0, 35)
+    val zAxis = Axis.regular(0.0, 2.0, 3)
+    def f3(lon: Double, lat: Double, z: Double): Double =
+      f(lon, lat) * (1.0 + 0.3 * z)
+    val vals = new Array[Double](72 * 35 * 3)
+    for (i <- 0 until 72; j <- 0 until 35; k <- 0 until 3)
+      vals((i * 35 + j) * 3 + k) = f3(lonAxis(i), latAxis(j), zAxis(k))
+    val g3 = Grid3D(lonAxis, latAxis, zAxis, vals)
+    val rows = for (i <- 0 until 72; j <- 0 until 35; k <- 0 until 3)
+      yield (lonAxis(i), latAxis(j), zAxis(k), vals((i * 35 + j) * 3 + k))
+    val tbl = rows.toDF("lon", "lat", "z", "v")
+    val pts = Seq((179.0, 0.0, 0.75), (-179.0, 30.0, 1.5),
+      (183.0, -10.0, 0.0), (12.5, 42.5, 2.0))
+    val df = pts.toDF("x", "y", "zq")
+    val bc = GridInterpolator.trivariate(spark, df, "x", "y", "zq", g3,
+      "bicubic").select("x", "zq", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val tb = GridInterpolator.trivariateTableWindowed(spark, df, "x", "y",
+      "zq", tbl, "bicubic", xPeriod = 360.0)
+      .select("x", "zq", "value").collect()
+    assert(tb.length === pts.length)
+    tb.foreach { r =>
+      val k = (r.getDouble(0), r.getDouble(1))
+      assert(!r.getDouble(2).isNaN, s"$k NaN on the table path")
+      assert(math.abs(r.getDouble(2) - bc(k)) < 1e-9,
+        s"$k: table ${r.getDouble(2)} vs broadcast ${bc(k)}")
+    }
+  }
+
   test("xPeriod rejects a lattice that does not close the circle") {
     val tbl = makeGridTable().filter(col("lon") < 100.0)
     intercept[IllegalArgumentException] {
