@@ -775,7 +775,9 @@ object GridInterpolator {
     * (probes and cells co-grouped by (xy tile, z tile, u tile); cell
     * replication ~1.2·(1+1/tilePlane)², NOT the 144× per-probe stencil
     * fan-out). Exact-node brackets (t = 0 or 1) only require their own
-    * plane(s) — zero-weight planes are never assembled.
+    * plane(s) — zero-weight planes are never assembled. A GLOBAL
+    * lon-periodic lattice is declared by `xPeriod` exactly as on
+    * [[bivariateTableWindowed]].
     */
   def quadrivariateTableWindowed(spark: SparkSession, probe: DataFrame,
                                  xCol: String, yCol: String, zCol: String,
@@ -786,7 +788,8 @@ object GridInterpolator {
                                  halfWindow: Int = 3,
                                  zColName: String = "", uColName: String = "",
                                  valueCol: String = "",
-                                 outputCol: String = "value"): DataFrame = {
+                                 outputCol: String = "value",
+                                 xPeriod: Double = 0.0): DataFrame = {
     require(!geometricMethods.contains(method),
       s"method $method is geometric — use quadrivariateTable")
     require(halfWindow >= 1, "halfWindow must be >= 1")
@@ -797,6 +800,12 @@ object GridInterpolator {
     require(xAxis.size >= n && yAxis.size >= n,
       "quadrivariateTableWindowed requires >= 2*halfWindow nodes per " +
         "plane axis")
+    val periodic = xPeriod != 0.0
+    val nx4 = xAxis.size
+    if (periodic) require(
+      math.abs(nx4 * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
+      s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
+        s"${nx4 * xAxis.step}")
     val cells = gridTable.select(
       round((col(lonCol).cast("double") - lit(xAxis.front)) /
         lit(xAxis.step)).cast("int").as("_ci"),
@@ -810,13 +819,20 @@ object GridInterpolator {
     val withId = withStableId(probe)
     def frac(c: String, a: Axis) =
       (col(c).cast("double") - lit(a.front)) / lit(a.step)
-    val p = withId
-      .withColumn("_fx", frac(xCol, xAxis))
+    val fx4 =
+      if (periodic) pmod(frac(xCol, xAxis), lit(nx4.toDouble))
+      else frac(xCol, xAxis)
+    val i04 =
+      if (periodic)
+        when(col("_fx") === lit((nx4 - 1).toDouble), lit(nx4 - 2))
+          .otherwise(floor(col("_fx")).cast("int")).cast("int")
+      else least(floor(col("_fx")).cast("int"), lit(nx4 - 2))
+    val pAll = withId
+      .withColumn("_fx", fx4)
       .withColumn("_fy", frac(yCol, yAxis))
       .withColumn("_fz", frac(zCol, zAxis))
       .withColumn("_fu", frac(uCol, uAxis))
-      .withColumn("_i0",
-        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+      .withColumn("_i0", i04)
       .withColumn("_j0",
         least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
       .withColumn("_k0",
@@ -827,17 +843,23 @@ object GridInterpolator {
       .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
       .withColumn("_tz", col("_fz") - col("_k0"))
       .withColumn("_tu", col("_fu") - col("_l0"))
-      .filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
-        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
-        col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble) &&
-        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(xAxis.size - 1) &&
-        col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1))
+    val yzuFrame =
+      col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+      col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
+      col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble) &&
+      col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
+    val p =
+      if (periodic) pAll.filter(yzuFrame)
+      else pAll.filter(col("_fx") >= 0.0 &&
+        col("_fx") <= lit((nx4 - 1).toDouble) &&
+        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx4 - 1) && yzuFrame)
+    val xEval4 =
+      if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
+      else col(xCol).cast("double")
     import spark.implicits._
     val tXY = WindowedTileJoin.DefaultTileXY
     val tPl = WindowedTileJoin.DefaultTilePlane
-    val probesT = p.select(col("_rid"), col(xCol).cast("double").as("_x"),
+    val probesT = p.select(col("_rid"), xEval4.as("_x"),
         col(yCol).cast("double").as("_y"), col("_tz"), col("_tu"),
         col("_wi"), col("_wj"), col("_k0"), col("_l0"))
       .as[(Long, Double, Double, Double, Double, Int, Int, Int, Int)]
@@ -849,7 +871,7 @@ object GridInterpolator {
     val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 4,
       n = n, halfWindow = halfWindow, tileXY = tXY, tilePlane = tPl,
       nx = xAxis.size, ny = yAxis.size, nz = zAxis.size, nu = uAxis.size,
-      periodicX = false)
+      periodicX = periodic)
     val vals = WindowedTileJoin.evaluate(spark, probesT, cellsT,
       arity = 4, method = method, zMethod = zMethod, uMethod = uMethod,
       n = n, tileXY = tXY, tilePlane = tPl,
@@ -1233,9 +1255,9 @@ final class BivariateKernel(grid: Grid2D, method: String, halfWindow: Int,
 /** One assembled (2·halfWindow)² window's kernel: the SAME evaluation as
   * [[BivariateKernel]] — lazily-built [[graft.core.Bicubic]], per-row
   * separable [[graft.core.Univariate1D]] fits, or cspline
-  * (spline_bilinear) — over a fixed window. Shared by the 2-D and 3-D
-  * grid-as-table evaluators (the 3-D path holds one per bracketing
-  * z-plane).
+  * (spline_bilinear) — over a fixed window. The tile-local evaluation
+  * stage of [[WindowedTileJoin]] builds one per window (per bracketing
+  * z/u plane on the 3-D/4-D paths) from its dense cell block.
   */
 private[operators] final class WindowFit(method: String, n: Int,
     xs: Array[Double], ys: Array[Double], z: Array[Array[Double]]) {

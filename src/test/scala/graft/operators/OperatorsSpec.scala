@@ -608,6 +608,45 @@ class PeriodicSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("4-D grid-as-table windowed ≡ broadcast across the seam") {
+    // lon-periodic 4-D lattice: bicubic in-plane + bilinear (z, u)
+    // combine, seam-wrapped on the table path
+    val lonAxis = Axis.regular(-180.0, 170.0, 36, period = 360.0)
+    val latAxis = Axis.regular(-80.0, 80.0, 17)
+    val zAxis = Axis.regular(0.0, 2.0, 3)
+    val uAxis = Axis.regular(0.0, 1.0, 2)
+    def f4(lon: Double, lat: Double, z: Double, u: Double): Double =
+      f(lon, lat) * (1.0 + 0.3 * z) + 0.2 * u
+    val vals = new Array[Double](36 * 17 * 3 * 2)
+    for (i <- 0 until 36; j <- 0 until 17; k <- 0 until 3; l <- 0 until 2)
+      vals(((i * 17 + j) * 3 + k) * 2 + l) =
+        f4(lonAxis(i), latAxis(j), zAxis(k), uAxis(l))
+    val g4 = Grid4D(lonAxis, latAxis, zAxis, uAxis, vals)
+    val rows = for (i <- 0 until 36; j <- 0 until 17; k <- 0 until 3;
+        l <- 0 until 2)
+      yield (lonAxis(i), latAxis(j), zAxis(k), uAxis(l).toDouble,
+        vals(((i * 17 + j) * 3 + k) * 2 + l))
+    val tbl = rows.toDF("lon", "lat", "z", "lvl", "v")
+    val pts = Seq((177.0, 0.0, 0.75, 0.5), (-176.0, 30.0, 1.5, 0.25),
+      (184.0, -10.0, 1.0, 1.0), (22.5, 42.5, 2.0, 0.0))
+    val df = pts.toDF("x", "y", "zq", "uq")
+    val bc = QuadrivariateInterpolator.quadrivariate(spark, df, "x", "y",
+      "zq", "uq", g4, "bicubic").select("x", "zq", "uq", "value")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)) ->
+        r.getDouble(3)).toMap
+    val tb = GridInterpolator.quadrivariateTableWindowed(spark, df, "x",
+      "y", "zq", "uq", tbl, "bicubic", uColName = "lvl", xPeriod = 360.0)
+      .select("x", "zq", "uq", "value").collect()
+    assert(tb.length === pts.length)
+    tb.foreach { r =>
+      val k = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(!r.getDouble(3).isNaN, s"$k NaN on the table path")
+      assert(math.abs(r.getDouble(3) - bc(k)) < 1e-9,
+        s"$k: table ${r.getDouble(3)} vs broadcast ${bc(k)}")
+    }
+  }
+
   test("xPeriod rejects a lattice that does not close the circle") {
     val tbl = makeGridTable().filter(col("lon") < 100.0)
     intercept[IllegalArgumentException] {
