@@ -896,6 +896,29 @@ object SparkEntry {
       GridInterpolator.bivariateTable(s, probe, "x", "y", gridTable)
         .select(col("o_orderkey"), col("value").as("interp"))
     }),
+    "q_bicubic_irregular" -> ((s, dir) => {
+      // IRREGULAR-axis WINDOWED grid-as-table path: triangular-number
+      // spacing, probes exactly ON interior nodes — every windowed
+      // interpolant passes through its nodes, so the node value is the
+      // exact oracle while the window assembly must still find and fit
+      // the full 6x6 irregular stencil to produce it
+      val nn = 21
+      def v(i: org.apache.spark.sql.Column) =
+        (i * (i + 1) / 2).cast("double")
+      val gridTable = s.range(nn.toLong * nn).select(
+        v(floor(col("id") / nn)).as("lon"),
+        v(col("id") % nn).as("lat"),
+        ((floor(col("id") / nn) * 31 + (col("id") % nn) * 17) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val i0 = col("o_orderkey") % 14 + 3
+      val j0 = col("o_orderkey") * 7 % 14 + 3
+      val probe = orders.select(col("o_orderkey"),
+        v(i0).as("x"), v(j0).as("y"))
+      GridInterpolator.bivariateTableWindowed(s, probe, "x", "y", gridTable,
+          "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
     "q_bilinear_biggrid_seam" -> ((s, dir) => {
       // PERIODIC-LONGITUDE grid-as-table path: a full-circle 40-column
       // lattice (step 1, xPeriod 40) probed at half-cell offsets in
@@ -2237,6 +2260,14 @@ object SparkEntry {
           |  + CAST(((i0+1)*31 + (j0+1)*17) % 97 AS DOUBLE)) / 4.0
           |   AS interp
           |FROM p""".stripMargin.replace("\n", " "),
+
+      // node fidelity on the irregular windowed table path
+      "q_bicubic_irregular" ->
+        """SELECT o_orderkey,
+          | round(CAST(((o_orderkey % 14 + 3) * 31 +
+          |   (o_orderkey * 7 % 14 + 3) * 17) % 97 AS DOUBLE), 6)
+          |   AS interp
+          |FROM orders""".stripMargin.replace("\n", " "),
 
       // half-cell probes on the full-circle lattice: bilinear = mean of
       // the 4 corners with the seam cell's right column wrapping to 0

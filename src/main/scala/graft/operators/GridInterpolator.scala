@@ -436,8 +436,10 @@ object GridInterpolator {
     * be framed (boundary `undef` semantics) or with a missing/masked
     * stencil cell yield NaN, matching the broadcast kernel.
     *
-    * Requires regular, ascending axes (the common shape of lattices too
-    * large to broadcast) of at least 2·halfWindow nodes. A GLOBAL
+    * Requires ascending axes of at least 2·halfWindow nodes — regular
+    * (affine cell keys, fully codegen) or IRREGULAR (broadcast axis
+    * arrays + the broadcast kernel's findIndexes binary search; same
+    * tile-halo plan, window nodes read from the value arrays). A GLOBAL
     * lon-periodic lattice is declared by `xPeriod` (e.g. 360.0; requires
     * nx·step = period): probe x normalizes into the period, the x frame
     * never rejects, and windows crossing the seam pull their stencil
@@ -461,70 +463,121 @@ object GridInterpolator {
     val n = 2 * halfWindow
     val (lonCol, latCol, vCol, xAxis, yAxis) =
       resolveGrid2dTable(gridTable, valueCol)
-    require(xAxis.isRegular && yAxis.isRegular && xAxis.size >= n &&
-      yAxis.size >= n && !xAxis.isPeriodic && !yAxis.isPeriodic &&
+    require(xAxis.size >= n && yAxis.size >= n &&
+      !xAxis.isPeriodic && !yAxis.isPeriodic &&
       xAxis.front < xAxis.back && yAxis.front < yAxis.back,
-      "bivariateTableWindowed requires regular ascending axes of >= " +
-        "2*halfWindow nodes; load irregular grids through " +
-        "GridLoader.grid2d (broadcast)")
+      "bivariateTableWindowed requires ascending axes of >= " +
+        "2*halfWindow nodes")
     val periodic = xPeriod != 0.0
+    val regular = xAxis.isRegular && yAxis.isRegular
+    require(regular || !periodic,
+      "xPeriod requires a regular full-circle lattice")
     val nx = xAxis.size
     if (periodic) require(
       math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
       s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
         s"${nx * xAxis.step}")
 
-    val cells = gridTable.select(
-      round((col(lonCol).cast("double") - lit(xAxis.front)) /
-        lit(xAxis.step)).cast("int").as("_ci"),
-      round((col(latCol).cast("double") - lit(yAxis.front)) /
-        lit(yAxis.step)).cast("int").as("_cj"),
-      col(vCol).cast("double").as("_z"))
-
     val withId = withStableId(probe)
-    val fxRaw = (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
-    val fx = if (periodic) pmod(fxRaw, lit(nx.toDouble)) else fxRaw
-    val fy = (col(yCol).cast("double") - lit(yAxis.front)) / lit(yAxis.step)
-    // bracket cell (right-edge-inclusive, findIndexes semantics) ->
-    // window origin; the frame filter mirrors Axis.window with boundary
-    // `undef`: i0 in [halfWindow-1, size-1-halfWindow], probes outside
-    // surface as NaN after the final left join. Periodic x never rejects
-    // and its window origin may be negative (unwrapped frame).
-    val i0 =
-      if (periodic)
-        when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
-          .otherwise(floor(col("_fx")).cast("int")).cast("int")
-      else least(floor(col("_fx")).cast("int"), lit(nx - 2))
-    val pAll = withId
-      .withColumn("_fx", fx).withColumn("_fy", fy)
-      .withColumn("_i0", i0)
-      .withColumn("_j0",
-        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
-      .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
-      .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
-    val yFrame = col("_fy") >= 0.0 &&
-      col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-      col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
-    val p =
-      if (periodic) pAll.filter(yFrame)
-      else pAll.filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((nx - 1).toDouble) &&
-        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx - 1) && yFrame)
-    // periodic probes evaluate at the UNWRAPPED window coordinate
-    // front + fx·step (fx - wi ∈ [halfWindow-1, halfWindow), always
-    // inside the unwrapped xs frame); non-periodic keeps the raw x so
-    // the established paths stay bit-identical
-    val xEval =
-      if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
-      else col(xCol).cast("double")
     import spark.implicits._
     val tXY = WindowedTileJoin.DefaultTileXY
-    val probesT = p.select(col("_rid"), xEval.as("_x"),
-        col(yCol).cast("double").as("_y"), col("_wi"), col("_wj"))
-      .as[(Long, Double, Double, Int, Int)]
-      .map { case (rid, x, y, wi, wj) =>
-        TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY), 0, 0,
-          rid, x, y, 0.0, 0.0, wi, wj, 0, 0)
+    val hw = halfWindow
+
+    val (cells, probesT) =
+      if (regular) {
+        val cellsR = gridTable.select(
+          round((col(lonCol).cast("double") - lit(xAxis.front)) /
+            lit(xAxis.step)).cast("int").as("_ci"),
+          round((col(latCol).cast("double") - lit(yAxis.front)) /
+            lit(yAxis.step)).cast("int").as("_cj"),
+          col(vCol).cast("double").as("_z"))
+        val fxRaw =
+          (col(xCol).cast("double") - lit(xAxis.front)) / lit(xAxis.step)
+        val fx = if (periodic) pmod(fxRaw, lit(nx.toDouble)) else fxRaw
+        val fy =
+          (col(yCol).cast("double") - lit(yAxis.front)) / lit(yAxis.step)
+        // bracket cell (right-edge-inclusive, findIndexes semantics) ->
+        // window origin; the frame filter mirrors Axis.window with
+        // boundary `undef`: i0 in [halfWindow-1, size-1-halfWindow],
+        // probes outside surface as NaN after the final left join.
+        // Periodic x never rejects and its window origin may be
+        // negative (unwrapped frame).
+        val i0 =
+          if (periodic)
+            when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
+              .otherwise(floor(col("_fx")).cast("int")).cast("int")
+          else least(floor(col("_fx")).cast("int"), lit(nx - 2))
+        val pAll = withId
+          .withColumn("_fx", fx).withColumn("_fy", fy)
+          .withColumn("_i0", i0)
+          .withColumn("_j0",
+            least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+          .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
+          .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
+        val yFrame = col("_fy") >= 0.0 &&
+          col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+          col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
+        val p =
+          if (periodic) pAll.filter(yFrame)
+          else pAll.filter(col("_fx") >= 0.0 &&
+            col("_fx") <= lit((nx - 1).toDouble) &&
+            col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx - 1) &&
+            yFrame)
+        // periodic probes evaluate at the UNWRAPPED window coordinate
+        // front + fx·step (fx - wi ∈ [halfWindow-1, halfWindow), always
+        // inside the unwrapped xs frame); non-periodic keeps the raw x
+        // so the established paths stay bit-identical
+        val xEval =
+          if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
+          else col(xCol).cast("double")
+        val pT = p.select(col("_rid"), xEval.as("_x"),
+            col(yCol).cast("double").as("_y"), col("_wi"), col("_wj"))
+          .as[(Long, Double, Double, Int, Int)]
+          .map { case (rid, x, y, wi, wj) =>
+            TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY), 0, 0,
+              rid, x, y, 0.0, 0.0, wi, wj, 0, 0)
+          }
+        (cellsR, pT)
+      } else {
+        // IRREGULAR ascending axes: broadcast the axis value arrays
+        // (O(nx + ny)), key cells via the nearest-index search and
+        // bracket probes via the SAME findIndexes binary search as the
+        // broadcast kernel; the window origin / undef-frame rule is
+        // identical to the affine branch. The tile-halo fan-out and
+        // evaluation are index-based and shared — only the window node
+        // coordinates differ (axis values instead of front + i·step).
+        val bcX = spark.sparkContext.broadcast(xAxis)
+        val bcY = spark.sparkContext.broadcast(yAxis)
+        val nyL = yAxis.size
+        val nxL = nx
+        val cellsI = gridTable.select(col(lonCol).cast("double"),
+            col(latCol).cast("double"), col(vCol).cast("double"))
+          .as[(Double, Double, Double)]
+          .flatMap { case (x, y, z) =>
+            val ci = bcX.value.findIndex(x, bounded = false)
+            val cj = bcY.value.findIndex(y, bounded = false)
+            if (ci >= 0 && cj >= 0) Iterator.single((ci, cj, z))
+            else Iterator.empty
+          }.toDF("_ci", "_cj", "_z")
+        val pT = withId.select(col("_rid"),
+            col(xCol).cast("double").as("_x"),
+            col(yCol).cast("double").as("_y"))
+          .as[(Long, Double, Double)]
+          .flatMap { case (rid, x, y) =>
+            (bcX.value.findIndexes(x), bcY.value.findIndexes(y)) match {
+              case (Some((i0, _)), Some((j0, _))) =>
+                val wi = i0 - (hw - 1)
+                val wj = j0 - (hw - 1)
+                if (wi >= 0 && wi + (2 * hw - 1) <= nxL - 1 &&
+                    wj >= 0 && wj + (2 * hw - 1) <= nyL - 1)
+                  Iterator.single(TileProbe(Math.floorDiv(wi, tXY),
+                    Math.floorDiv(wj, tXY), 0, 0, rid, x, y, 0.0, 0.0,
+                    wi, wj, 0, 0))
+                else Iterator.empty
+              case _ => Iterator.empty
+            }
+          }
+        (cellsI, pT)
       }
     val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 2,
       n = n, halfWindow = halfWindow, tileXY = tXY,
@@ -534,7 +587,9 @@ object GridInterpolator {
       arity = 2, method = method, zMethod = "", uMethod = "", n = n,
       tileXY = tXY, tilePlane = WindowedTileJoin.DefaultTilePlane,
       xFront = xAxis.front, xStep = xAxis.step,
-      yFront = yAxis.front, yStep = yAxis.step)
+      yFront = yAxis.front, yStep = yAxis.step,
+      xVals = if (regular) null else xAxis.values,
+      yVals = if (regular) null else yAxis.values)
 
     withId.join(vals, Seq("_rid"), "left")
       .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))

@@ -161,7 +161,9 @@ private[operators] object WindowedTileJoin {
                zMethod: String, uMethod: String, n: Int,
                tileXY: Int, tilePlane: Int,
                xFront: Double, xStep: Double, yFront: Double,
-               yStep: Double): DataFrame = {
+               yStep: Double,
+               xVals: Array[Double] = null,
+               yVals: Array[Double] = null): DataFrame = {
     import spark.implicits._
     val m = method
     val zm = zMethod
@@ -171,6 +173,14 @@ private[operators] object WindowedTileJoin {
     val tp = tilePlane
     val ar = arity
     val xf = xFront; val xs0 = xStep; val yf = yFront; val ys0 = yStep
+    // irregular axes: window node coordinates come from the broadcast
+    // axis value arrays (O(nx + ny)) instead of the affine front + i·step
+    // — indexes are always in-range here (irregular excludes periodic
+    // unwrapping)
+    val bxv = if (xVals == null) null
+      else spark.sparkContext.broadcast(xVals)
+    val byv = if (yVals == null) null
+      else spark.sparkContext.broadcast(yVals)
     val probeK = probes.groupByKey(p => (p.tx, p.ty, p.tk, p.tl))
     val cellK = cells.groupByKey(c => (c.tx, c.ty, c.tk, c.tl))
     probeK.cogroup(cellK) { case ((tx, ty, tk, tl), ps, cs) =>
@@ -200,8 +210,12 @@ private[operators] object WindowedTileJoin {
         val fits = new Array[WindowFit](4)
         val built = new Array[Boolean](4)
         def buildFit(wi: Int, wj: Int, kk: Int, ll: Int): WindowFit = {
-          val xsArr = Array.tabulate(nn)(i => xf + (wi + i) * xs0)
-          val ysArr = Array.tabulate(nn)(j => yf + (wj + j) * ys0)
+          val xsArr =
+            if (bxv == null) Array.tabulate(nn)(i => xf + (wi + i) * xs0)
+            else Array.tabulate(nn)(i => bxv.value(wi + i))
+          val ysArr =
+            if (byv == null) Array.tabulate(nn)(j => yf + (wj + j) * ys0)
+            else Array.tabulate(nn)(j => byv.value(wj + j))
           val zz = Array.tabulate(nn, nn)((i, j) =>
             arr((((wi - x0 + i) * ex + (wj - y0 + j)) * ek + kk) * el + ll))
           new WindowFit(m, nn, xsArr, ysArr, zz)

@@ -183,6 +183,29 @@ class IngestionSpec extends AnyFunSuite {
     }
     assert(nans > 0 && viaTable.values.exists(v => !v.isNaN))
     assert(maxV === 105.0)
+    // WINDOWED irregular path: same broadcast-axis bracket + tile-halo
+    // plan with window nodes read from the value arrays — bit-exact vs
+    // the broadcast kernel (identical xs arrays and eval coordinates)
+    for (method <- Seq("bicubic", "akima")) {
+      val wTable = GridInterpolator
+        .bivariateTableWindowed(spark, probes, "x", "y", gridTable, method)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val wBroadcast = GridInterpolator
+        .bivariate(spark, probes, "x", "y", g, method)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(wTable.keySet === wBroadcast.keySet)
+      var wNans = 0
+      wTable.foreach { case (qid, v) =>
+        val b = wBroadcast(qid)
+        if (v.isNaN || b.isNaN) {
+          assert(v.isNaN === b.isNaN, s"$method qid $qid: $v vs $b")
+          wNans += 1
+        } else assert(v === b, s"$method qid $qid: $v vs $b")
+      }
+      assert(wNans > 0 && wTable.values.exists(v => !v.isNaN), method)
+    }
   }
 
   test("bivariateTableWindowed ≡ broadcast for bicubic and akima") {
