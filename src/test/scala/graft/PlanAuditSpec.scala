@@ -133,7 +133,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // its 36/72/144 stencil keys (a Generate/explode over the probe
     // table — the r4 shuffle-amplification shape this replaced)
     for (q <- Seq("q_bicubic_biggrid", "q_bicubic_biggrid_seam",
-        "q_bicubic3d_biggrid", "q_bicubic4d_biggrid")) {
+        "q_bicubic_irregular", "q_bicubic3d_biggrid",
+        "q_bicubic4d_biggrid")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
