@@ -352,10 +352,9 @@ object GridInterpolator {
         .filterNot(n => n == lonCol || n == latCol || n == zName).headOption
         .getOrElse(throw new IllegalArgumentException("no value column"))
     val axes = GridLoader.axesOf(gridTable, Seq(lonCol, latCol, zName))
-    require(axes.forall(a => a.isRegular && a.size >= 2 && !a.isPeriodic &&
+    require(axes.forall(a => a.size >= 2 && !a.isPeriodic &&
       a.front < a.back),
-      s"$caller requires regular ascending non-periodic axes; load " +
-        "irregular/periodic grids through GridLoader.grid3d (broadcast)")
+      s"$caller requires ascending non-periodic axes of >= 2 nodes")
     (lonCol, latCol, zName, vCol, axes(0), axes(1), axes(2))
   }
 
@@ -365,47 +364,98 @@ object GridInterpolator {
                       outputCol: String = "value"): DataFrame = {
     val (lonCol, latCol, zName, vCol, xAxis, yAxis, zAxis) =
       resolveGrid3dTable(gridTable, zColName, valueCol, "trivariateTable")
-
-    val cells = gridTable.select(
-      round((col(lonCol).cast("double") - lit(xAxis.front)) /
-        lit(xAxis.step)).cast("int").as("_ci"),
-      round((col(latCol).cast("double") - lit(yAxis.front)) /
-        lit(yAxis.step)).cast("int").as("_cj"),
-      round((col(zName).cast("double") - lit(zAxis.front)) /
-        lit(zAxis.step)).cast("int").as("_ck"),
-      col(vCol).cast("double").as("_z"))
+    val regular = xAxis.isRegular && yAxis.isRegular && zAxis.isRegular
 
     val withId = withStableId(probe)
-    def frac(c: String, a: graft.core.Axis) =
-      (col(c).cast("double") - lit(a.front)) / lit(a.step)
-    val p = withId
-      .withColumn("_fx", frac(xCol, xAxis))
-      .withColumn("_fy", frac(yCol, yAxis))
-      .withColumn("_fz", frac(zCol, zAxis))
-      .withColumn("_i0",
-        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
-      .withColumn("_j0",
-        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
-      .withColumn("_k0",
-        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
-      .withColumn("_tx", col("_fx") - col("_i0"))
-      .withColumn("_ty", col("_fy") - col("_j0"))
-      .withColumn("_tz", col("_fz") - col("_k0"))
-      .filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
-        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble))
-    val cornerStructs = for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1) yield {
-      def w(t: org.apache.spark.sql.Column, d: Int) =
-        if (d == 1) t else lit(1.0) - t
-      struct((col("_i0") + di).as("_ci"), (col("_j0") + dj).as("_cj"),
-        (col("_k0") + dk).as("_ck"),
-        (w(col("_tx"), di) * w(col("_ty"), dj) * w(col("_tz"), dk)).as("_w"))
+    val (cells, corners) = if (regular) {
+      val cellsR = gridTable.select(
+        round((col(lonCol).cast("double") - lit(xAxis.front)) /
+          lit(xAxis.step)).cast("int").as("_ci"),
+        round((col(latCol).cast("double") - lit(yAxis.front)) /
+          lit(yAxis.step)).cast("int").as("_cj"),
+        round((col(zName).cast("double") - lit(zAxis.front)) /
+          lit(zAxis.step)).cast("int").as("_ck"),
+        col(vCol).cast("double").as("_z"))
+      def frac(c: String, a: graft.core.Axis) =
+        (col(c).cast("double") - lit(a.front)) / lit(a.step)
+      val p = withId
+        .withColumn("_fx", frac(xCol, xAxis))
+        .withColumn("_fy", frac(yCol, yAxis))
+        .withColumn("_fz", frac(zCol, zAxis))
+        .withColumn("_i0",
+          least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+        .withColumn("_j0",
+          least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+        .withColumn("_k0",
+          least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+        .withColumn("_tx", col("_fx") - col("_i0"))
+        .withColumn("_ty", col("_fy") - col("_j0"))
+        .withColumn("_tz", col("_fz") - col("_k0"))
+        .filter(col("_fx") >= 0.0 &&
+          col("_fx") <= lit((xAxis.size - 1).toDouble) &&
+          col("_fy") >= 0.0 &&
+          col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+          col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble))
+      val cornerStructs =
+        for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1) yield {
+          def w(t: org.apache.spark.sql.Column, d: Int) =
+            if (d == 1) t else lit(1.0) - t
+          struct((col("_i0") + di).as("_ci"), (col("_j0") + dj).as("_cj"),
+            (col("_k0") + dk).as("_ck"),
+            (w(col("_tx"), di) * w(col("_ty"), dj) * w(col("_tz"), dk))
+              .as("_w"))
+        }
+      val cornersR = p.select(col("_rid"),
+          explode(array(cornerStructs: _*)).as("_c"))
+        .select(col("_rid"), col("_c._ci").as("_ci"),
+          col("_c._cj").as("_cj"), col("_c._ck").as("_ck"),
+          col("_c._w").as("_w"))
+      (cellsR, cornersR)
+    } else {
+      // IRREGULAR ascending axes: broadcast axis arrays + the broadcast
+      // kernel's findIndexes brackets — the 3-D analog of the 2-D
+      // irregular corner fan-out; the join plan is unchanged
+      import spark.implicits._
+      val bcX = spark.sparkContext.broadcast(xAxis)
+      val bcY = spark.sparkContext.broadcast(yAxis)
+      val bcZ = spark.sparkContext.broadcast(zAxis)
+      val cellsI = gridTable.select(col(lonCol).cast("double"),
+          col(latCol).cast("double"), col(zName).cast("double"),
+          col(vCol).cast("double"))
+        .as[(Double, Double, Double, Double)]
+        .flatMap { case (x, y, z, v) =>
+          val ci = bcX.value.findIndex(x, bounded = false)
+          val cj = bcY.value.findIndex(y, bounded = false)
+          val ck = bcZ.value.findIndex(z, bounded = false)
+          if (ci >= 0 && cj >= 0 && ck >= 0)
+            Iterator.single((ci, cj, ck, v))
+          else Iterator.empty
+        }.toDF("_ci", "_cj", "_ck", "_z")
+      val cornersI = withId.select(col("_rid"),
+          col(xCol).cast("double").as("_x"),
+          col(yCol).cast("double").as("_y"),
+          col(zCol).cast("double").as("_zq"))
+        .as[(Long, Double, Double, Double)]
+        .flatMap { case (rid, x, y, z) =>
+          (bcX.value.findIndexes(x), bcY.value.findIndexes(y),
+            bcZ.value.findIndexes(z)) match {
+            case (Some((i0, i1)), Some((j0, j1)), Some((k0, k1))) =>
+              val ax = bcX.value; val ay = bcY.value; val az = bcZ.value
+              def tOf(v: Double, lo: Double, hi: Double) =
+                if (hi == lo) 0.0 else (v - lo) / (hi - lo)
+              val tx = tOf(x, ax(i0), ax(i1))
+              val ty = tOf(y, ay(j0), ay(j1))
+              val tz = tOf(z, az(k0), az(k1))
+              for {
+                (ci, wx) <- Iterator((i0, 1 - tx), (i1, tx))
+                (cj, wy) <- Iterator((j0, 1 - ty), (j1, ty))
+                (ck, wz) <- Iterator((k0, 1 - tz), (k1, tz))
+              } yield (rid, ci, cj, ck, wx * wy * wz)
+            case _ => Iterator.empty
+          }
+        }.toDF("_rid", "_ci", "_cj", "_ck", "_w")
+      (cellsI, cornersI)
     }
-    val corners = p.select(col("_rid"), explode(array(cornerStructs: _*))
-        .as("_c"))
-      .select(col("_rid"), col("_c._ci").as("_ci"), col("_c._cj").as("_cj"),
-        col("_c._ck").as("_ck"), col("_c._w").as("_w"))
     val agg = corners.join(cells, Seq("_ci", "_cj", "_ck"))
       .groupBy("_rid")
       .agg(sum(col("_w") * col("_z")).as("_v"), count(lit(1)).as("_n"))
@@ -631,6 +681,9 @@ object GridInterpolator {
     require(xAxis.size >= n && yAxis.size >= n,
       "trivariateTableWindowed requires >= 2*halfWindow nodes per plane " +
         "axis")
+    require(xAxis.isRegular && yAxis.isRegular && zAxis.isRegular,
+      "trivariateTableWindowed requires regular axes (irregular support " +
+        "currently covers the 2-D table paths)")
     // periodic longitude: same contract and mechanics as the 2-D path —
     // full-circle lattice, probe normalization, seam-wrapped stencil
     // columns through the tile-halo fan-out, unwrapped evaluation frame
@@ -740,9 +793,9 @@ object GridInterpolator {
         .getOrElse(throw new IllegalArgumentException("no value column"))
     val axes = GridLoader.axesOf(gridTable,
       Seq(lonCol, latCol, zName, uColName))
-    require(axes.forall(a => a.isRegular && a.size >= 2 && !a.isPeriodic &&
+    require(axes.forall(a => a.size >= 2 && !a.isPeriodic &&
       a.front < a.back),
-      s"$caller requires regular ascending non-periodic axes")
+      s"$caller requires ascending non-periodic axes of >= 2 nodes")
     (lonCol, latCol, zName, uColName, vCol, axes(0), axes(1), axes(2),
       axes(3))
   }
@@ -762,6 +815,10 @@ object GridInterpolator {
     val (lonCol, latCol, zName, uName, vCol, xAxis, yAxis, zAxis, uAxis) =
       resolveGrid4dTable(gridTable, zColName, uColName, valueCol,
         "quadrivariateTable")
+    require(xAxis.isRegular && yAxis.isRegular && zAxis.isRegular &&
+      uAxis.isRegular,
+      "quadrivariateTable requires regular axes (irregular support " +
+        "currently covers the 2-D and 3-D table paths)")
     val cells = gridTable.select(
       round((col(lonCol).cast("double") - lit(xAxis.front)) /
         lit(xAxis.step)).cast("int").as("_ci"),
@@ -855,6 +912,10 @@ object GridInterpolator {
     require(xAxis.size >= n && yAxis.size >= n,
       "quadrivariateTableWindowed requires >= 2*halfWindow nodes per " +
         "plane axis")
+    require(xAxis.isRegular && yAxis.isRegular && zAxis.isRegular &&
+      uAxis.isRegular,
+      "quadrivariateTableWindowed requires regular axes (irregular " +
+        "support currently covers the 2-D table paths)")
     val periodic = xPeriod != 0.0
     val nx4 = xAxis.size
     if (periodic) require(

@@ -208,6 +208,53 @@ class IngestionSpec extends AnyFunSuite {
     }
   }
 
+  test("trivariateTable on IRREGULAR axes ≡ broadcast trilinear") {
+    // triangular-number spacing on ALL THREE axes: the 8-corner table
+    // path brackets via the broadcast kernel's binary search
+    val nn = 9; val nz = 4
+    def tri(i: Int): Double = i * (i + 1) / 2.0
+    def v(i: org.apache.spark.sql.Column) = (i * (i + 1) / 2).cast("double")
+    val gridTable = spark.range(nn.toLong * nn * nz).select(
+      v(floor(col("id") / (nn * nz))).as("lon"),
+      v(floor(col("id") / nz) % nn).as("lat"),
+      v(col("id") % nz).as("z"),
+      ((floor(col("id") / (nn * nz)) * 13 + (floor(col("id") / nz) % nn) * 7
+        + (col("id") % nz) * 5) % 31).cast("double").as("sst"))
+    val probes = (0 until 200).map { k =>
+      val x = (k * 37 % 420) / 10.0 - 2.0
+      val y = (k * 53 % 420) / 10.0 - 2.0
+      val z = (k * 29 % 90) / 10.0 - 1.0 // -1 .. 8 (axis tops at 6)
+      (k.toLong, x, y, z)
+    }.toDF("qid", "x", "y", "zq")
+    val viaTable = GridInterpolator
+      .trivariateTable(spark, probes, "x", "y", "zq", gridTable)
+      .select(col("qid"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g3 = {
+      val vals = new Array[Double](nn * nn * nz)
+      for (i <- 0 until nn; j <- 0 until nn; k <- 0 until nz)
+        vals((i * nn + j) * nz + k) = ((i * 13 + j * 7 + k * 5) % 31).toDouble
+      Grid3D(
+        graft.core.Axis(Array.tabulate(nn)(tri)),
+        graft.core.Axis(Array.tabulate(nn)(tri)),
+        graft.core.Axis(Array.tabulate(nz)(tri)), vals)
+    }
+    assert(!g3.xAxis.isRegular && !g3.zAxis.isRegular)
+    val viaBroadcast = GridInterpolator
+      .trivariate(spark, probes, "x", "y", "zq", g3, "bilinear")
+      .select(col("qid"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaTable.keySet === viaBroadcast.keySet)
+    var nans = 0
+    viaTable.foreach { case (qid, v) =>
+      val b = viaBroadcast(qid)
+      if (v.isNaN || b.isNaN) {
+        assert(v.isNaN === b.isNaN, s"qid $qid: $v vs $b"); nans += 1
+      } else assert(math.abs(v - b) <= 1e-12, s"qid $qid: $v vs $b")
+    }
+    assert(nans > 0 && viaTable.values.exists(v => !v.isNaN))
+  }
+
   test("bivariateTableWindowed ≡ broadcast for bicubic and akima") {
     // the table path evaluates the SAME core kernels on the SAME window,
     // so agreement is exact (bit-for-bit), including every NaN face:
