@@ -361,10 +361,21 @@ object GridInterpolator {
   def trivariateTable(spark: SparkSession, probe: DataFrame, xCol: String,
                       yCol: String, zCol: String, gridTable: DataFrame,
                       zColName: String = "", valueCol: String = "",
-                      outputCol: String = "value"): DataFrame = {
+                      outputCol: String = "value",
+                      xPeriod: Double = 0.0): DataFrame = {
     val (lonCol, latCol, zName, vCol, xAxis, yAxis, zAxis) =
       resolveGrid3dTable(gridTable, zColName, valueCol, "trivariateTable")
     val regular = xAxis.isRegular && yAxis.isRegular && zAxis.isRegular
+    // periodic longitude: [[bivariateTable]]'s seam mechanics — pmod
+    // probe normalization, x frame never rejects, right corners wrap
+    val periodic = xPeriod != 0.0
+    require(regular || !periodic,
+      "xPeriod requires a regular full-circle lattice")
+    val nx = xAxis.size
+    if (periodic) require(
+      math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
+      s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
+        s"${nx * xAxis.step}")
 
     val withId = withStableId(probe)
     val (cells, corners) = if (regular) {
@@ -378,12 +389,19 @@ object GridInterpolator {
         col(vCol).cast("double").as("_z"))
       def frac(c: String, a: graft.core.Axis) =
         (col(c).cast("double") - lit(a.front)) / lit(a.step)
-      val p = withId
-        .withColumn("_fx", frac(xCol, xAxis))
+      val fx =
+        if (periodic) pmod(frac(xCol, xAxis), lit(nx.toDouble))
+        else frac(xCol, xAxis)
+      val i0 =
+        if (periodic)
+          when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
+            .otherwise(floor(col("_fx")).cast("int")).cast("int")
+        else least(floor(col("_fx")).cast("int"), lit(nx - 2))
+      val pAll = withId
+        .withColumn("_fx", fx)
         .withColumn("_fy", frac(yCol, yAxis))
         .withColumn("_fz", frac(zCol, zAxis))
-        .withColumn("_i0",
-          least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
+        .withColumn("_i0", i0)
         .withColumn("_j0",
           least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
         .withColumn("_k0",
@@ -391,16 +409,22 @@ object GridInterpolator {
         .withColumn("_tx", col("_fx") - col("_i0"))
         .withColumn("_ty", col("_fy") - col("_j0"))
         .withColumn("_tz", col("_fz") - col("_k0"))
-        .filter(col("_fx") >= 0.0 &&
-          col("_fx") <= lit((xAxis.size - 1).toDouble) &&
-          col("_fy") >= 0.0 &&
-          col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-          col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble))
+      val yzFrame = col("_fy") >= 0.0 &&
+        col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble)
+      val p =
+        if (periodic) pAll.filter(yzFrame)
+        else pAll.filter(col("_fx") >= 0.0 &&
+          col("_fx") <= lit((nx - 1).toDouble) && yzFrame)
+      // seam wrap of the right corner column (periodic only)
+      def ciOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (periodic) pmod(c, lit(nx)) else c
       val cornerStructs =
         for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1) yield {
           def w(t: org.apache.spark.sql.Column, d: Int) =
             if (d == 1) t else lit(1.0) - t
-          struct((col("_i0") + di).as("_ci"), (col("_j0") + dj).as("_cj"),
+          struct(ciOf(col("_i0") + di).as("_ci"),
+            (col("_j0") + dj).as("_cj"),
             (col("_k0") + dk).as("_ck"),
             (w(col("_tx"), di) * w(col("_ty"), dj) * w(col("_tz"), dk))
               .as("_w"))
@@ -657,9 +681,10 @@ object GridInterpolator {
     * NOT the 72× per-probe stencil fan-out), and the per-tile eval runs
     * the SAME kernels as the broadcast path per plane before the z
     * combine. Probes outside the frame, and windows with missing/masked
-    * cells, yield NaN (boundary `undef`); a probe exactly on a z node
-    * (t = 0 or 1) needs only its own plane. A GLOBAL lon-periodic
-    * lattice is declared by `xPeriod` exactly as on
+    * cells, yield NaN (boundary `undef`); the linear z combine is
+    * v0 + t·(v1 − v0) on BOTH bracketing planes even at t = 0 or 1 —
+    * the broadcast kernel's exact op order and NaN propagation. A
+    * GLOBAL lon-periodic lattice is declared by `xPeriod` exactly as on
     * [[bivariateTableWindowed]].
     */
   def trivariateTableWindowed(spark: SparkSession, probe: DataFrame,
@@ -681,74 +706,128 @@ object GridInterpolator {
     require(xAxis.size >= n && yAxis.size >= n,
       "trivariateTableWindowed requires >= 2*halfWindow nodes per plane " +
         "axis")
-    require(xAxis.isRegular && yAxis.isRegular && zAxis.isRegular,
-      "trivariateTableWindowed requires regular axes (irregular support " +
-        "currently covers the 2-D table paths)")
     // periodic longitude: same contract and mechanics as the 2-D path —
     // full-circle lattice, probe normalization, seam-wrapped stencil
     // columns through the tile-halo fan-out, unwrapped evaluation frame
     val periodic = xPeriod != 0.0
+    val regular = xAxis.isRegular && yAxis.isRegular && zAxis.isRegular
+    require(regular || !periodic,
+      "xPeriod requires a regular full-circle lattice")
     val nx = xAxis.size
     if (periodic) require(
       math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
       s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
         s"${nx * xAxis.step}")
 
-    val cells = gridTable.select(
-      round((col(lonCol).cast("double") - lit(xAxis.front)) /
-        lit(xAxis.step)).cast("int").as("_ci"),
-      round((col(latCol).cast("double") - lit(yAxis.front)) /
-        lit(yAxis.step)).cast("int").as("_cj"),
-      round((col(zName).cast("double") - lit(zAxis.front)) /
-        lit(zAxis.step)).cast("int").as("_ck"),
-      col(vCol).cast("double").as("_z"))
-
     val withId = withStableId(probe)
-    def frac(c: String, a: Axis) =
-      (col(c).cast("double") - lit(a.front)) / lit(a.step)
-    val fx =
-      if (periodic) pmod(frac(xCol, xAxis), lit(nx.toDouble))
-      else frac(xCol, xAxis)
-    val i0 =
-      if (periodic)
-        when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
-          .otherwise(floor(col("_fx")).cast("int")).cast("int")
-      else least(floor(col("_fx")).cast("int"), lit(nx - 2))
-    val pAll = withId
-      .withColumn("_fx", fx)
-      .withColumn("_fy", frac(yCol, yAxis))
-      .withColumn("_fz", frac(zCol, zAxis))
-      .withColumn("_i0", i0)
-      .withColumn("_j0",
-        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
-      .withColumn("_k0",
-        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
-      .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
-      .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
-      .withColumn("_tz", col("_fz") - col("_k0"))
-    val yzFrame =
-      col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-      col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
-      col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
-    val p =
-      if (periodic) pAll.filter(yzFrame)
-      else pAll.filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((nx - 1).toDouble) &&
-        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx - 1) && yzFrame)
-    val xEval =
-      if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
-      else col(xCol).cast("double")
     import spark.implicits._
     val tXY = WindowedTileJoin.DefaultTileXY
     val tPl = WindowedTileJoin.DefaultTilePlane
-    val probesT = p.select(col("_rid"), xEval.as("_x"),
-        col(yCol).cast("double").as("_y"), col("_tz"), col("_wi"),
-        col("_wj"), col("_k0"))
-      .as[(Long, Double, Double, Double, Int, Int, Int)]
-      .map { case (rid, x, y, tz, wi, wj, k0) =>
-        TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY),
-          Math.floorDiv(k0, tPl), 0, rid, x, y, tz, 0.0, wi, wj, k0, 0)
-      }
+    val hw = halfWindow
+
+    val (cells, probesT) = if (regular) {
+      val cellsR = gridTable.select(
+        round((col(lonCol).cast("double") - lit(xAxis.front)) /
+          lit(xAxis.step)).cast("int").as("_ci"),
+        round((col(latCol).cast("double") - lit(yAxis.front)) /
+          lit(yAxis.step)).cast("int").as("_cj"),
+        round((col(zName).cast("double") - lit(zAxis.front)) /
+          lit(zAxis.step)).cast("int").as("_ck"),
+        col(vCol).cast("double").as("_z"))
+      def frac(c: String, a: Axis) =
+        (col(c).cast("double") - lit(a.front)) / lit(a.step)
+      val fx =
+        if (periodic) pmod(frac(xCol, xAxis), lit(nx.toDouble))
+        else frac(xCol, xAxis)
+      val i0 =
+        if (periodic)
+          when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
+            .otherwise(floor(col("_fx")).cast("int")).cast("int")
+        else least(floor(col("_fx")).cast("int"), lit(nx - 2))
+      val pAll = withId
+        .withColumn("_fx", fx)
+        .withColumn("_fy", frac(yCol, yAxis))
+        .withColumn("_fz", frac(zCol, zAxis))
+        .withColumn("_i0", i0)
+        .withColumn("_j0",
+          least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+        .withColumn("_k0",
+          least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+        .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
+        .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
+        .withColumn("_tz", col("_fz") - col("_k0"))
+      val yzFrame =
+        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
+        col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
+      val p =
+        if (periodic) pAll.filter(yzFrame)
+        else pAll.filter(col("_fx") >= 0.0 &&
+          col("_fx") <= lit((nx - 1).toDouble) &&
+          col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx - 1) && yzFrame)
+      val xEval =
+        if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
+        else col(xCol).cast("double")
+      val pT = p.select(col("_rid"), xEval.as("_x"),
+          col(yCol).cast("double").as("_y"), col("_tz"), col("_wi"),
+          col("_wj"), col("_k0"))
+        .as[(Long, Double, Double, Double, Int, Int, Int)]
+        .map { case (rid, x, y, tz, wi, wj, k0) =>
+          TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY),
+            Math.floorDiv(k0, tPl), 0, rid, x, y, tz, 0.0, wi, wj, k0, 0)
+        }
+      (cellsR, pT)
+    } else {
+      // IRREGULAR ascending axes (pressure levels, non-uniform time):
+      // broadcast the axis value arrays (O(nx + ny + nz) — the cube
+      // root of the lattice), key cells via the nearest-index search and
+      // bracket probes via the SAME findIndexes binary search as the
+      // broadcast kernel; tz = (z − z0)/(z1 − z0) from the axis VALUES,
+      // the broadcast trivariate's exact combine weight. The tile-halo
+      // fan-out and evaluation are index-based and shared — window
+      // x/y node coordinates come from the broadcast value arrays.
+      val bcX = spark.sparkContext.broadcast(xAxis)
+      val bcY = spark.sparkContext.broadcast(yAxis)
+      val bcZ = spark.sparkContext.broadcast(zAxis)
+      val nxL = nx
+      val nyL = yAxis.size
+      val cellsI = gridTable.select(col(lonCol).cast("double"),
+          col(latCol).cast("double"), col(zName).cast("double"),
+          col(vCol).cast("double"))
+        .as[(Double, Double, Double, Double)]
+        .flatMap { case (x, y, z, v) =>
+          val ci = bcX.value.findIndex(x, bounded = false)
+          val cj = bcY.value.findIndex(y, bounded = false)
+          val ck = bcZ.value.findIndex(z, bounded = false)
+          if (ci >= 0 && cj >= 0 && ck >= 0)
+            Iterator.single((ci, cj, ck, v))
+          else Iterator.empty
+        }.toDF("_ci", "_cj", "_ck", "_z")
+      val pT = withId.select(col("_rid"),
+          col(xCol).cast("double").as("_x"),
+          col(yCol).cast("double").as("_y"),
+          col(zCol).cast("double").as("_zq"))
+        .as[(Long, Double, Double, Double)]
+        .flatMap { case (rid, x, y, z) =>
+          (bcX.value.findIndexes(x), bcY.value.findIndexes(y),
+            bcZ.value.findIndexes(z)) match {
+            case (Some((i0, _)), Some((j0, _)), Some((k0, k1))) =>
+              val wi = i0 - (hw - 1)
+              val wj = j0 - (hw - 1)
+              if (wi >= 0 && wi + (2 * hw - 1) <= nxL - 1 &&
+                  wj >= 0 && wj + (2 * hw - 1) <= nyL - 1) {
+                val az = bcZ.value
+                val z0 = az(k0); val z1 = az(k1)
+                val tz = if (z1 == z0) 0.0 else (z - z0) / (z1 - z0)
+                Iterator.single(TileProbe(Math.floorDiv(wi, tXY),
+                  Math.floorDiv(wj, tXY), Math.floorDiv(k0, tPl), 0,
+                  rid, x, y, tz, 0.0, wi, wj, k0, 0))
+              } else Iterator.empty
+            case _ => Iterator.empty
+          }
+        }
+      (cellsI, pT)
+    }
     val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 3,
       n = n, halfWindow = halfWindow, tileXY = tXY, tilePlane = tPl,
       nx = xAxis.size, ny = yAxis.size, nz = zAxis.size, nu = 0,
@@ -757,7 +836,9 @@ object GridInterpolator {
       arity = 3, method = method, zMethod = zMethod, uMethod = "", n = n,
       tileXY = tXY, tilePlane = tPl,
       xFront = xAxis.front, xStep = xAxis.step,
-      yFront = yAxis.front, yStep = yAxis.step)
+      yFront = yAxis.front, yStep = yAxis.step,
+      xVals = if (regular) null else xAxis.values,
+      yVals = if (regular) null else yAxis.values)
 
     withId.join(vals, Seq("_rid"), "left")
       .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
@@ -811,63 +892,141 @@ object GridInterpolator {
                          uCol: String, gridTable: DataFrame,
                          zColName: String = "", uColName: String = "",
                          valueCol: String = "",
-                         outputCol: String = "value"): DataFrame = {
+                         outputCol: String = "value",
+                         xPeriod: Double = 0.0): DataFrame = {
     val (lonCol, latCol, zName, uName, vCol, xAxis, yAxis, zAxis, uAxis) =
       resolveGrid4dTable(gridTable, zColName, uColName, valueCol,
         "quadrivariateTable")
-    require(xAxis.isRegular && yAxis.isRegular && zAxis.isRegular &&
-      uAxis.isRegular,
-      "quadrivariateTable requires regular axes (irregular support " +
-        "currently covers the 2-D and 3-D table paths)")
-    val cells = gridTable.select(
-      round((col(lonCol).cast("double") - lit(xAxis.front)) /
-        lit(xAxis.step)).cast("int").as("_ci"),
-      round((col(latCol).cast("double") - lit(yAxis.front)) /
-        lit(yAxis.step)).cast("int").as("_cj"),
-      round((col(zName).cast("double") - lit(zAxis.front)) /
-        lit(zAxis.step)).cast("int").as("_ck"),
-      round((col(uName).cast("double") - lit(uAxis.front)) /
-        lit(uAxis.step)).cast("int").as("_cl"),
-      col(vCol).cast("double").as("_z"))
+    val regular = xAxis.isRegular && yAxis.isRegular && zAxis.isRegular &&
+      uAxis.isRegular
+    // periodic longitude: [[bivariateTable]]'s seam mechanics — pmod
+    // probe normalization, x frame never rejects, right corners wrap
+    val periodic = xPeriod != 0.0
+    require(regular || !periodic,
+      "xPeriod requires a regular full-circle lattice")
+    val nx = xAxis.size
+    if (periodic) require(
+      math.abs(nx * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
+      s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
+        s"${nx * xAxis.step}")
     val withId = withStableId(probe)
-    def frac(c: String, a: Axis) =
-      (col(c).cast("double") - lit(a.front)) / lit(a.step)
-    val p = withId
-      .withColumn("_fx", frac(xCol, xAxis))
-      .withColumn("_fy", frac(yCol, yAxis))
-      .withColumn("_fz", frac(zCol, zAxis))
-      .withColumn("_fu", frac(uCol, uAxis))
-      .withColumn("_i0",
-        least(floor(col("_fx")).cast("int"), lit(xAxis.size - 2)))
-      .withColumn("_j0",
-        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
-      .withColumn("_k0",
-        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
-      .withColumn("_l0",
-        least(floor(col("_fu")).cast("int"), lit(uAxis.size - 2)))
-      .withColumn("_tx", col("_fx") - col("_i0"))
-      .withColumn("_ty", col("_fy") - col("_j0"))
-      .withColumn("_tz", col("_fz") - col("_k0"))
-      .withColumn("_tu", col("_fu") - col("_l0"))
-      .filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((xAxis.size - 1).toDouble) &&
+    val (cells, corners) = if (regular) {
+      val cellsR = gridTable.select(
+        round((col(lonCol).cast("double") - lit(xAxis.front)) /
+          lit(xAxis.step)).cast("int").as("_ci"),
+        round((col(latCol).cast("double") - lit(yAxis.front)) /
+          lit(yAxis.step)).cast("int").as("_cj"),
+        round((col(zName).cast("double") - lit(zAxis.front)) /
+          lit(zAxis.step)).cast("int").as("_ck"),
+        round((col(uName).cast("double") - lit(uAxis.front)) /
+          lit(uAxis.step)).cast("int").as("_cl"),
+        col(vCol).cast("double").as("_z"))
+      def frac(c: String, a: Axis) =
+        (col(c).cast("double") - lit(a.front)) / lit(a.step)
+      val fx =
+        if (periodic) pmod(frac(xCol, xAxis), lit(nx.toDouble))
+        else frac(xCol, xAxis)
+      val i0 =
+        if (periodic)
+          when(col("_fx") === lit((nx - 1).toDouble), lit(nx - 2))
+            .otherwise(floor(col("_fx")).cast("int")).cast("int")
+        else least(floor(col("_fx")).cast("int"), lit(nx - 2))
+      val pAll = withId
+        .withColumn("_fx", fx)
+        .withColumn("_fy", frac(yCol, yAxis))
+        .withColumn("_fz", frac(zCol, zAxis))
+        .withColumn("_fu", frac(uCol, uAxis))
+        .withColumn("_i0", i0)
+        .withColumn("_j0",
+          least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+        .withColumn("_k0",
+          least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+        .withColumn("_l0",
+          least(floor(col("_fu")).cast("int"), lit(uAxis.size - 2)))
+        .withColumn("_tx", col("_fx") - col("_i0"))
+        .withColumn("_ty", col("_fy") - col("_j0"))
+        .withColumn("_tz", col("_fz") - col("_k0"))
+        .withColumn("_tu", col("_fu") - col("_l0"))
+      val yzuFrame =
         col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
         col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
-        col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble))
-    val cornerStructs =
-      for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1; dl <- 0 to 1) yield {
-        def w(t: org.apache.spark.sql.Column, d: Int) =
-          if (d == 1) t else lit(1.0) - t
-        struct((col("_i0") + di).as("_ci"), (col("_j0") + dj).as("_cj"),
-          (col("_k0") + dk).as("_ck"), (col("_l0") + dl).as("_cl"),
-          (w(col("_tx"), di) * w(col("_ty"), dj) * w(col("_tz"), dk) *
-            w(col("_tu"), dl)).as("_w"))
-      }
-    val corners = p.select(col("_rid"),
-        explode(array(cornerStructs: _*)).as("_c"))
-      .select(col("_rid"), col("_c._ci").as("_ci"), col("_c._cj").as("_cj"),
-        col("_c._ck").as("_ck"), col("_c._cl").as("_cl"),
-        col("_c._w").as("_w"))
+        col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble)
+      val p =
+        if (periodic) pAll.filter(yzuFrame)
+        else pAll.filter(col("_fx") >= 0.0 &&
+          col("_fx") <= lit((nx - 1).toDouble) && yzuFrame)
+      def ciOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (periodic) pmod(c, lit(nx)) else c
+      val cornerStructs =
+        for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1; dl <- 0 to 1)
+        yield {
+          def w(t: org.apache.spark.sql.Column, d: Int) =
+            if (d == 1) t else lit(1.0) - t
+          struct(ciOf(col("_i0") + di).as("_ci"),
+            (col("_j0") + dj).as("_cj"),
+            (col("_k0") + dk).as("_ck"), (col("_l0") + dl).as("_cl"),
+            (w(col("_tx"), di) * w(col("_ty"), dj) * w(col("_tz"), dk) *
+              w(col("_tu"), dl)).as("_w"))
+        }
+      val cornersR = p.select(col("_rid"),
+          explode(array(cornerStructs: _*)).as("_c"))
+        .select(col("_rid"), col("_c._ci").as("_ci"),
+          col("_c._cj").as("_cj"), col("_c._ck").as("_ck"),
+          col("_c._cl").as("_cl"), col("_c._w").as("_w"))
+      (cellsR, cornersR)
+    } else {
+      // IRREGULAR ascending axes: broadcast axis arrays + the broadcast
+      // kernel's findIndexes brackets, extended to the 16 corners — the
+      // 4-D analog of the 2-D/3-D irregular corner fan-outs; the join
+      // plan is unchanged
+      import spark.implicits._
+      val bcX = spark.sparkContext.broadcast(xAxis)
+      val bcY = spark.sparkContext.broadcast(yAxis)
+      val bcZ = spark.sparkContext.broadcast(zAxis)
+      val bcU = spark.sparkContext.broadcast(uAxis)
+      val cellsI = gridTable.select(col(lonCol).cast("double"),
+          col(latCol).cast("double"), col(zName).cast("double"),
+          col(uName).cast("double"), col(vCol).cast("double"))
+        .as[(Double, Double, Double, Double, Double)]
+        .flatMap { case (x, y, z, u, v) =>
+          val ci = bcX.value.findIndex(x, bounded = false)
+          val cj = bcY.value.findIndex(y, bounded = false)
+          val ck = bcZ.value.findIndex(z, bounded = false)
+          val cl = bcU.value.findIndex(u, bounded = false)
+          if (ci >= 0 && cj >= 0 && ck >= 0 && cl >= 0)
+            Iterator.single((ci, cj, ck, cl, v))
+          else Iterator.empty
+        }.toDF("_ci", "_cj", "_ck", "_cl", "_z")
+      val cornersI = withId.select(col("_rid"),
+          col(xCol).cast("double").as("_x"),
+          col(yCol).cast("double").as("_y"),
+          col(zCol).cast("double").as("_zq"),
+          col(uCol).cast("double").as("_uq"))
+        .as[(Long, Double, Double, Double, Double)]
+        .flatMap { case (rid, x, y, z, u) =>
+          (bcX.value.findIndexes(x), bcY.value.findIndexes(y),
+            bcZ.value.findIndexes(z), bcU.value.findIndexes(u)) match {
+            case (Some((i0, i1)), Some((j0, j1)), Some((k0, k1)),
+                Some((l0, l1))) =>
+              val ax = bcX.value; val ay = bcY.value
+              val az = bcZ.value; val au = bcU.value
+              def tOf(v: Double, lo: Double, hi: Double) =
+                if (hi == lo) 0.0 else (v - lo) / (hi - lo)
+              val tx = tOf(x, ax(i0), ax(i1))
+              val ty = tOf(y, ay(j0), ay(j1))
+              val tz = tOf(z, az(k0), az(k1))
+              val tu = tOf(u, au(l0), au(l1))
+              for {
+                (ci, wx) <- Iterator((i0, 1 - tx), (i1, tx))
+                (cj, wy) <- Iterator((j0, 1 - ty), (j1, ty))
+                (ck, wz) <- Iterator((k0, 1 - tz), (k1, tz))
+                (cl, wu) <- Iterator((l0, 1 - tu), (l1, tu))
+              } yield (rid, ci, cj, ck, cl, wx * wy * wz * wu)
+            case _ => Iterator.empty
+          }
+        }.toDF("_rid", "_ci", "_cj", "_ck", "_cl", "_w")
+      (cellsI, cornersI)
+    }
     val agg = corners.join(cells, Seq("_ci", "_cj", "_ck", "_cl"))
       .groupBy("_rid")
       .agg(sum(col("_w") * col("_z")).as("_v"), count(lit(1)).as("_n"))
@@ -886,10 +1045,11 @@ object GridInterpolator {
     * broadcast gate. Runs on the [[WindowedTileJoin]] tile-halo plan
     * (probes and cells co-grouped by (xy tile, z tile, u tile); cell
     * replication ~1.2·(1+1/tilePlane)², NOT the 144× per-probe stencil
-    * fan-out). Exact-node brackets (t = 0 or 1) only require their own
-    * plane(s) — zero-weight planes are never assembled. A GLOBAL
-    * lon-periodic lattice is declared by `xPeriod` exactly as on
-    * [[bivariateTableWindowed]].
+    * fan-out). The linear combine is the broadcast kernel's nested lerp
+    * (u outer, z inner, v0 + t·(v1 − v0) at each level) — bit-identical
+    * op order and NaN propagation; nearest snaps per axis and only
+    * assembles the snapped plane. A GLOBAL lon-periodic lattice is
+    * declared by `xPeriod` exactly as on [[bivariateTableWindowed]].
     */
   def quadrivariateTableWindowed(spark: SparkSession, probe: DataFrame,
                                  xCol: String, yCol: String, zCol: String,
@@ -912,78 +1072,137 @@ object GridInterpolator {
     require(xAxis.size >= n && yAxis.size >= n,
       "quadrivariateTableWindowed requires >= 2*halfWindow nodes per " +
         "plane axis")
-    require(xAxis.isRegular && yAxis.isRegular && zAxis.isRegular &&
-      uAxis.isRegular,
-      "quadrivariateTableWindowed requires regular axes (irregular " +
-        "support currently covers the 2-D table paths)")
     val periodic = xPeriod != 0.0
+    val regular = xAxis.isRegular && yAxis.isRegular && zAxis.isRegular &&
+      uAxis.isRegular
+    require(regular || !periodic,
+      "xPeriod requires a regular full-circle lattice")
     val nx4 = xAxis.size
     if (periodic) require(
       math.abs(nx4 * xAxis.step - xPeriod) <= 1e-6 * xAxis.step,
       s"xPeriod=$xPeriod requires a full-circle lattice: nx*step = " +
         s"${nx4 * xAxis.step}")
-    val cells = gridTable.select(
-      round((col(lonCol).cast("double") - lit(xAxis.front)) /
-        lit(xAxis.step)).cast("int").as("_ci"),
-      round((col(latCol).cast("double") - lit(yAxis.front)) /
-        lit(yAxis.step)).cast("int").as("_cj"),
-      round((col(zName).cast("double") - lit(zAxis.front)) /
-        lit(zAxis.step)).cast("int").as("_ck"),
-      round((col(uName).cast("double") - lit(uAxis.front)) /
-        lit(uAxis.step)).cast("int").as("_cl"),
-      col(vCol).cast("double").as("_z"))
     val withId = withStableId(probe)
-    def frac(c: String, a: Axis) =
-      (col(c).cast("double") - lit(a.front)) / lit(a.step)
-    val fx4 =
-      if (periodic) pmod(frac(xCol, xAxis), lit(nx4.toDouble))
-      else frac(xCol, xAxis)
-    val i04 =
-      if (periodic)
-        when(col("_fx") === lit((nx4 - 1).toDouble), lit(nx4 - 2))
-          .otherwise(floor(col("_fx")).cast("int")).cast("int")
-      else least(floor(col("_fx")).cast("int"), lit(nx4 - 2))
-    val pAll = withId
-      .withColumn("_fx", fx4)
-      .withColumn("_fy", frac(yCol, yAxis))
-      .withColumn("_fz", frac(zCol, zAxis))
-      .withColumn("_fu", frac(uCol, uAxis))
-      .withColumn("_i0", i04)
-      .withColumn("_j0",
-        least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
-      .withColumn("_k0",
-        least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
-      .withColumn("_l0",
-        least(floor(col("_fu")).cast("int"), lit(uAxis.size - 2)))
-      .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
-      .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
-      .withColumn("_tz", col("_fz") - col("_k0"))
-      .withColumn("_tu", col("_fu") - col("_l0"))
-    val yzuFrame =
-      col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
-      col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
-      col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble) &&
-      col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
-    val p =
-      if (periodic) pAll.filter(yzuFrame)
-      else pAll.filter(col("_fx") >= 0.0 &&
-        col("_fx") <= lit((nx4 - 1).toDouble) &&
-        col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx4 - 1) && yzuFrame)
-    val xEval4 =
-      if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
-      else col(xCol).cast("double")
     import spark.implicits._
     val tXY = WindowedTileJoin.DefaultTileXY
     val tPl = WindowedTileJoin.DefaultTilePlane
-    val probesT = p.select(col("_rid"), xEval4.as("_x"),
-        col(yCol).cast("double").as("_y"), col("_tz"), col("_tu"),
-        col("_wi"), col("_wj"), col("_k0"), col("_l0"))
-      .as[(Long, Double, Double, Double, Double, Int, Int, Int, Int)]
-      .map { case (rid, x, y, tz, tu, wi, wj, k0, l0) =>
-        TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY),
-          Math.floorDiv(k0, tPl), Math.floorDiv(l0, tPl),
-          rid, x, y, tz, tu, wi, wj, k0, l0)
-      }
+    val hw = halfWindow
+
+    val (cells, probesT) = if (regular) {
+      val cellsR = gridTable.select(
+        round((col(lonCol).cast("double") - lit(xAxis.front)) /
+          lit(xAxis.step)).cast("int").as("_ci"),
+        round((col(latCol).cast("double") - lit(yAxis.front)) /
+          lit(yAxis.step)).cast("int").as("_cj"),
+        round((col(zName).cast("double") - lit(zAxis.front)) /
+          lit(zAxis.step)).cast("int").as("_ck"),
+        round((col(uName).cast("double") - lit(uAxis.front)) /
+          lit(uAxis.step)).cast("int").as("_cl"),
+        col(vCol).cast("double").as("_z"))
+      def frac(c: String, a: Axis) =
+        (col(c).cast("double") - lit(a.front)) / lit(a.step)
+      val fx4 =
+        if (periodic) pmod(frac(xCol, xAxis), lit(nx4.toDouble))
+        else frac(xCol, xAxis)
+      val i04 =
+        if (periodic)
+          when(col("_fx") === lit((nx4 - 1).toDouble), lit(nx4 - 2))
+            .otherwise(floor(col("_fx")).cast("int")).cast("int")
+        else least(floor(col("_fx")).cast("int"), lit(nx4 - 2))
+      val pAll = withId
+        .withColumn("_fx", fx4)
+        .withColumn("_fy", frac(yCol, yAxis))
+        .withColumn("_fz", frac(zCol, zAxis))
+        .withColumn("_fu", frac(uCol, uAxis))
+        .withColumn("_i0", i04)
+        .withColumn("_j0",
+          least(floor(col("_fy")).cast("int"), lit(yAxis.size - 2)))
+        .withColumn("_k0",
+          least(floor(col("_fz")).cast("int"), lit(zAxis.size - 2)))
+        .withColumn("_l0",
+          least(floor(col("_fu")).cast("int"), lit(uAxis.size - 2)))
+        .withColumn("_wi", col("_i0") - lit(halfWindow - 1))
+        .withColumn("_wj", col("_j0") - lit(halfWindow - 1))
+        .withColumn("_tz", col("_fz") - col("_k0"))
+        .withColumn("_tu", col("_fu") - col("_l0"))
+      val yzuFrame =
+        col("_fy") >= 0.0 && col("_fy") <= lit((yAxis.size - 1).toDouble) &&
+        col("_fz") >= 0.0 && col("_fz") <= lit((zAxis.size - 1).toDouble) &&
+        col("_fu") >= 0.0 && col("_fu") <= lit((uAxis.size - 1).toDouble) &&
+        col("_wj") >= 0 && col("_wj") + (n - 1) <= lit(yAxis.size - 1)
+      val p =
+        if (periodic) pAll.filter(yzuFrame)
+        else pAll.filter(col("_fx") >= 0.0 &&
+          col("_fx") <= lit((nx4 - 1).toDouble) &&
+          col("_wi") >= 0 && col("_wi") + (n - 1) <= lit(nx4 - 1) &&
+          yzuFrame)
+      val xEval4 =
+        if (periodic) lit(xAxis.front) + col("_fx") * lit(xAxis.step)
+        else col(xCol).cast("double")
+      val pT = p.select(col("_rid"), xEval4.as("_x"),
+          col(yCol).cast("double").as("_y"), col("_tz"), col("_tu"),
+          col("_wi"), col("_wj"), col("_k0"), col("_l0"))
+        .as[(Long, Double, Double, Double, Double, Int, Int, Int, Int)]
+        .map { case (rid, x, y, tz, tu, wi, wj, k0, l0) =>
+          TileProbe(Math.floorDiv(wi, tXY), Math.floorDiv(wj, tXY),
+            Math.floorDiv(k0, tPl), Math.floorDiv(l0, tPl),
+            rid, x, y, tz, tu, wi, wj, k0, l0)
+        }
+      (cellsR, pT)
+    } else {
+      // IRREGULAR ascending axes: the 3-D irregular branch extended
+      // with the u bracket — broadcast axis value arrays, findIndexes
+      // brackets, tz/tu = (v − v0)/(v1 − v0) from the axis VALUES (the
+      // broadcast quadrivariate's exact combine weights)
+      val bcX = spark.sparkContext.broadcast(xAxis)
+      val bcY = spark.sparkContext.broadcast(yAxis)
+      val bcZ = spark.sparkContext.broadcast(zAxis)
+      val bcU = spark.sparkContext.broadcast(uAxis)
+      val nxL = nx4
+      val nyL = yAxis.size
+      val cellsI = gridTable.select(col(lonCol).cast("double"),
+          col(latCol).cast("double"), col(zName).cast("double"),
+          col(uName).cast("double"), col(vCol).cast("double"))
+        .as[(Double, Double, Double, Double, Double)]
+        .flatMap { case (x, y, z, u, v) =>
+          val ci = bcX.value.findIndex(x, bounded = false)
+          val cj = bcY.value.findIndex(y, bounded = false)
+          val ck = bcZ.value.findIndex(z, bounded = false)
+          val cl = bcU.value.findIndex(u, bounded = false)
+          if (ci >= 0 && cj >= 0 && ck >= 0 && cl >= 0)
+            Iterator.single((ci, cj, ck, cl, v))
+          else Iterator.empty
+        }.toDF("_ci", "_cj", "_ck", "_cl", "_z")
+      val pT = withId.select(col("_rid"),
+          col(xCol).cast("double").as("_x"),
+          col(yCol).cast("double").as("_y"),
+          col(zCol).cast("double").as("_zq"),
+          col(uCol).cast("double").as("_uq"))
+        .as[(Long, Double, Double, Double, Double)]
+        .flatMap { case (rid, x, y, z, u) =>
+          (bcX.value.findIndexes(x), bcY.value.findIndexes(y),
+            bcZ.value.findIndexes(z), bcU.value.findIndexes(u)) match {
+            case (Some((i0, _)), Some((j0, _)), Some((k0, k1)),
+                Some((l0, l1))) =>
+              val wi = i0 - (hw - 1)
+              val wj = j0 - (hw - 1)
+              if (wi >= 0 && wi + (2 * hw - 1) <= nxL - 1 &&
+                  wj >= 0 && wj + (2 * hw - 1) <= nyL - 1) {
+                val az = bcZ.value; val au = bcU.value
+                val z0 = az(k0); val z1 = az(k1)
+                val u0 = au(l0); val u1 = au(l1)
+                val tz = if (z1 == z0) 0.0 else (z - z0) / (z1 - z0)
+                val tu = if (u1 == u0) 0.0 else (u - u0) / (u1 - u0)
+                Iterator.single(TileProbe(Math.floorDiv(wi, tXY),
+                  Math.floorDiv(wj, tXY), Math.floorDiv(k0, tPl),
+                  Math.floorDiv(l0, tPl), rid, x, y, tz, tu, wi, wj,
+                  k0, l0))
+              } else Iterator.empty
+            case _ => Iterator.empty
+          }
+        }
+      (cellsI, pT)
+    }
     val cellsT = WindowedTileJoin.fanOutCells(spark, cells, arity = 4,
       n = n, halfWindow = halfWindow, tileXY = tXY, tilePlane = tPl,
       nx = xAxis.size, ny = yAxis.size, nz = zAxis.size, nu = uAxis.size,
@@ -992,7 +1211,9 @@ object GridInterpolator {
       arity = 4, method = method, zMethod = zMethod, uMethod = uMethod,
       n = n, tileXY = tXY, tilePlane = tPl,
       xFront = xAxis.front, xStep = xAxis.step,
-      yFront = yAxis.front, yStep = yAxis.step)
+      yFront = yAxis.front, yStep = yAxis.step,
+      xVals = if (regular) null else xAxis.values,
+      yVals = if (regular) null else yAxis.values)
     withId.join(vals, Seq("_rid"), "left")
       .withColumn(outputCol, coalesce(col("_v"), lit(Double.NaN)))
       .drop("_rid", "_v")
@@ -1419,7 +1640,6 @@ private[operators] final class WindowFit(method: String, n: Int,
     uniY.value(y)
   }
 
-  
   /** Mirror of [[BivariateKernel]].windowedSplineLinear. */
   private def splineLinear(x: Double, y: Double): Double = {
     val tmp = new Array[Double](n)

@@ -44,8 +44,12 @@ private[operators] final case class TileCell(
   * the lattice, independent of the stencil size — the plan that survives
   * a 100-TB lattice. Probe skew concentrates a tile's probes in one
   * task (cogroup groups are not AQE-splittable); the tile size bounds
-  * the cell state per task and the evaluation is a streaming pass, so
-  * the worst case is CPU-bound, not memory-bound.
+  * the cell state per task and probes are evaluated in bounded
+  * origin-sorted CHUNKS of [[ProbeChunk]] rows (a hot tile streams
+  * chunk by chunk — per-task memory stays O(tile cells + ProbeChunk)
+  * no matter how many probes land in the tile, and a chunk boundary
+  * costs at most the 4 cached plane fits), so the worst case really is
+  * CPU-bound, not memory-bound.
   *
   * Reference semantics preserved: windows crossing the periodic seam see
   * unwrapped cell replicas (the broadcast window's monotonic unwrap,
@@ -64,6 +68,13 @@ private[operators] object WindowedTileJoin {
     * halo is exactly one plane and replication is 1 + 1/tile.
     */
   val DefaultTilePlane = 4
+
+  /** Probes buffered (and sorted) per evaluation chunk: bounds a hot
+    * tile's per-task heap at ~ProbeChunk · sizeof(TileProbe) ≈ 6 MB
+    * regardless of probe skew. Var only so specs can force multi-chunk
+    * evaluation on small fixtures.
+    */
+  private[operators] var ProbeChunk: Int = 1 << 16
 
   @inline private def fd(a: Int, b: Int): Int = Math.floorDiv(a, b)
   @inline private def fm(a: Int, b: Int): Int = Math.floorMod(a, b)
@@ -181,6 +192,7 @@ private[operators] object WindowedTileJoin {
       else spark.sparkContext.broadcast(xVals)
     val byv = if (yVals == null) null
       else spark.sparkContext.broadcast(yVals)
+    val chunkSize = ProbeChunk
     val probeK = probes.groupByKey(p => (p.tx, p.ty, p.tk, p.tl))
     val cellK = cells.groupByKey(c => (c.tx, c.ty, c.tk, c.tl))
     probeK.cogroup(cellK) { case ((tx, ty, tk, tl), ps, cs) =>
@@ -200,11 +212,11 @@ private[operators] object WindowedTileJoin {
       }
       if (!ps.hasNext) Iterator.empty
       else {
-        // sorted by window origin -> consecutive probes reuse the fits,
-        // exactly the old evaluators' last-window cache
-        val pArr = ps.toArray
-        java.util.Arrays.sort(pArr, Ordering.by((p: TileProbe) =>
-          (p.wi, p.wj, p.k0, p.l0)))
+        // probes evaluated in bounded sorted chunks: within a chunk the
+        // origin sort makes consecutive probes reuse the fits (the old
+        // evaluators' last-window cache); across chunks the cache state
+        // persists, so a boundary costs at most 4 plane refits. Memory
+        // per task = dense tile block + one chunk, independent of skew.
         var lastWi = Int.MinValue; var lastWj = 0
         var lastK0 = 0; var lastL0 = 0
         val fits = new Array[WindowFit](4)
@@ -221,7 +233,7 @@ private[operators] object WindowedTileJoin {
           new WindowFit(m, nn, xsArr, ysArr, zz)
         }
         // plane p = dk*2 + dl relative to (k0, l0); built lazily so
-        // zero-weight planes (exact-node brackets) are never assembled
+        // nearest-combine probes only assemble the plane they snap to
         def fit(p: TileProbe, dk: Int, dl: Int): WindowFit = {
           val idx = dk * 2 + dl
           if (!built(idx)) {
@@ -230,51 +242,58 @@ private[operators] object WindowedTileJoin {
           }
           fits(idx)
         }
-        pArr.iterator.map { p =>
-          if (p.wi != lastWi || p.wj != lastWj || p.k0 != lastK0 ||
-              p.l0 != lastL0) {
-            lastWi = p.wi; lastWj = p.wj; lastK0 = p.k0; lastL0 = p.l0
-            java.util.Arrays.fill(built, false)
-          }
-          val v = ar match {
-            case 2 => fit(p, 0, 0).eval(p.x, p.y)
-            case 3 =>
-              // the 3-D combine of the broadcast path: nearest snaps,
-              // exact-node brackets (t = 0 or 1) need only their plane
-              if (zm == "nearest") {
-                if (p.tz <= 0.5) fit(p, 0, 0).eval(p.x, p.y)
-                else fit(p, 1, 0).eval(p.x, p.y)
-              } else if (p.tz == 0.0) fit(p, 0, 0).eval(p.x, p.y)
-              else if (p.tz == 1.0) fit(p, 1, 0).eval(p.x, p.y)
-              else {
-                val v0 = fit(p, 0, 0).eval(p.x, p.y)
-                val v1 = fit(p, 1, 0).eval(p.x, p.y)
-                v0 + p.tz * (v1 - v0)
-              }
-            case _ =>
-              // 4-D bilinear/per-axis-nearest combine; zero-weight
-              // planes skipped (never built)
-              def w(tf: Double, mm: String): (Double, Double) = mm match {
-                case "nearest" => if (tf <= 0.5) (1.0, 0.0) else (0.0, 1.0)
-                case _ => (1.0 - tf, tf)
-              }
-              val (wz0, wz1) = w(p.tz, zm)
-              val (wu0, wu1) = w(p.tu, um)
-              var acc = 0.0
-              var dk = 0
-              while (dk < 2) {
-                var dl = 0
-                while (dl < 2) {
-                  val wgt = (if (dk == 0) wz0 else wz1) *
-                    (if (dl == 0) wu0 else wu1)
-                  if (wgt != 0.0) acc += wgt * fit(p, dk, dl).eval(p.x, p.y)
-                  dl += 1
+        ps.grouped(chunkSize).flatMap { chunkSeq =>
+          val pArr = chunkSeq.toArray
+          java.util.Arrays.sort(pArr, Ordering.by((p: TileProbe) =>
+            (p.wi, p.wj, p.k0, p.l0)))
+          pArr.iterator.map { p =>
+            if (p.wi != lastWi || p.wj != lastWj || p.k0 != lastK0 ||
+                p.l0 != lastL0) {
+              lastWi = p.wi; lastWj = p.wj; lastK0 = p.k0; lastL0 = p.l0
+              java.util.Arrays.fill(built, false)
+            }
+            val v = ar match {
+              case 2 => fit(p, 0, 0).eval(p.x, p.y)
+              case 3 =>
+                // the 3-D combine of the broadcast path
+                // (GridInterpolator.trivariate): nearest snaps to one
+                // plane; linear evaluates BOTH bracketing planes and
+                // combines v0 + t*(v1-v0) even at t = 0 or 1, so a
+                // NaN-masked window in the nominally zero-weight plane
+                // propagates exactly like the broadcast kernel
+                if (zm == "nearest") {
+                  if (p.tz <= 0.5) fit(p, 0, 0).eval(p.x, p.y)
+                  else fit(p, 1, 0).eval(p.x, p.y)
+                } else {
+                  val v0 = fit(p, 0, 0).eval(p.x, p.y)
+                  val v1 = fit(p, 1, 0).eval(p.x, p.y)
+                  v0 + p.tz * (v1 - v0)
                 }
-                dk += 1
-              }
-              acc
+              case _ =>
+                // the 4-D combine of the broadcast path
+                // (QuadrivariateInterpolator.quadrivariate): u outer,
+                // z inner, nearest snaps per axis, linear is the nested
+                // lerp v0 + t*(v1-v0) on both levels — bit-identical op
+                // order and NaN propagation vs the broadcast kernel
+                def zCombine(dl: Int): Double =
+                  if (zm == "nearest") {
+                    if (p.tz <= 0.5) fit(p, 0, dl).eval(p.x, p.y)
+                    else fit(p, 1, dl).eval(p.x, p.y)
+                  } else {
+                    val v0 = fit(p, 0, dl).eval(p.x, p.y)
+                    val v1 = fit(p, 1, dl).eval(p.x, p.y)
+                    v0 + p.tz * (v1 - v0)
+                  }
+                if (um == "nearest") {
+                  if (p.tu <= 0.5) zCombine(0) else zCombine(1)
+                } else {
+                  val v0 = zCombine(0)
+                  val v1 = zCombine(1)
+                  v0 + p.tu * (v1 - v0)
+                }
+            }
+            (p.rid, v)
           }
-          (p.rid, v)
         }
       }
     }.toDF("_rid", "_v")

@@ -313,25 +313,42 @@ class IngestionSpec extends AnyFunSuite {
     // computed as (z-z0)/(z1-z0) broadcast-side vs fz-k0 table-side).
     val nn = 15
     val nz = 4
+    // masked cells pin the broadcast combine's NaN propagation through
+    // nominally zero-weight planes: (3,3) in plane 1 (hit by tz = 0
+    // probes bracketing planes 0-1), (12,12) in plane 2 (hit by tz = 1
+    // probes on the LAST z node bracketing planes 2-3); both sit clear
+    // of the (7,7) control probes' 6x6 window (columns/rows 5-10)
     val gridTable = spark.range(nn.toLong * nn * nz).select(
       floor(col("id") / (nn * nz)).cast("double").as("lon"),
       (floor(col("id") / nz) % nn).cast("double").as("lat"),
       (col("id") % nz).cast("double").as("z"),
       ((floor(col("id") / (nn * nz)) * 13 + (floor(col("id") / nz) % nn) * 7
         + (col("id") % nz) * 5) % 31).cast("double").as("sst"))
+      .filter(!(col("lon") === 3.0 && col("lat") === 3.0 &&
+        col("z") === 1.0))
+      .filter(!(col("lon") === 12.0 && col("lat") === 12.0 &&
+        col("z") === 2.0))
     val halfZ = ((0 until 200).map { k =>
       val x = (k * 37 % 170) / 10.0 - 1.0
       val y = (k * 53 % 170) / 10.0 - 1.0
       val z = (k % 6) + 0.5 // incl. out-of-range z
       (k.toLong, x, y, z)
     } ++ Seq(
-      (1000L, 7.0, 7.0, 2.0),   // exact z node: only its plane needed
-      (1001L, 7.0, 7.0, 1.25))) // random combine weight
+      (1000L, 7.0, 7.0, 2.0),   // exact z node, both planes clean
+      (1001L, 7.0, 7.0, 1.25),  // random combine weight
+      // tz = 0: linear must still see the masked plane-1 window -> NaN
+      // on BOTH paths; nearest snaps to clean plane 0 -> value
+      (1002L, 3.4, 3.5, 0.0),
+      // tz = 1 (last z node): linear sees the masked plane-2 window ->
+      // NaN on BOTH paths; nearest snaps to clean plane 3 -> value
+      (1003L, 11.4, 11.3, 3.0)))
       .toDF("qid", "x", "y", "zq")
     val g3 = {
       val v = new Array[Double](nn * nn * nz)
       for (i <- 0 until nn; j <- 0 until nn; k <- 0 until nz)
         v(i * nn * nz + j * nz + k) = ((i * 13 + j * 7 + k * 5) % 31).toDouble
+      v(3 * nn * nz + 3 * nz + 1) = Double.NaN
+      v(12 * nn * nz + 12 * nz + 2) = Double.NaN
       Grid3D(graft.core.Axis.regular(0.0, nn - 1.0, nn), graft.core.Axis.regular(0.0, nn - 1.0, nn),
         graft.core.Axis.regular(0.0, nz - 1.0, nz), v)
     }
@@ -356,8 +373,151 @@ class IngestionSpec extends AnyFunSuite {
       }
       assert(nans > 0, s"$zm fixture must exercise NaN (z out of range)")
       assert(!viaTable(1000L).isNaN && !viaTable(1001L).isNaN)
+      // the masked-plane probes: linear propagates the zero-weight
+      // plane's NaN exactly like the broadcast v0 + t*(v1-v0); nearest
+      // snaps to the clean plane
+      if (zm == "linear")
+        assert(viaTable(1002L).isNaN && viaTable(1003L).isNaN,
+          "linear must evaluate BOTH bracketing planes at t = 0 and 1")
+      else
+        assert(!viaTable(1002L).isNaN && !viaTable(1003L).isNaN,
+          "nearest must snap past the masked plane")
       assert(viaTable.values.exists(v => !v.isNaN))
     }
+  }
+
+  test("trivariateTableWindowed on IRREGULAR axes ≡ broadcast") {
+    // triangular-number spacing on x/y and an irregular pressure-like z:
+    // the tile-halo plan brackets via the broadcast-axis binary search
+    // and reads window nodes from the value arrays — bit-exact parity
+    // (identical xs/ys arrays, eval coordinates, and z combine weight)
+    val nn = 12
+    val nz = 4
+    def tri(i: Int): Double = i * (i + 1) / 2.0
+    val zVals = Array(0.0, 1.0, 3.0, 6.0)
+    def v(i: org.apache.spark.sql.Column) = (i * (i + 1) / 2).cast("double")
+    def zOf(k: org.apache.spark.sql.Column) =
+      (k * (k + 1) / 2).cast("double")
+    val gridTable = spark.range(nn.toLong * nn * nz).select(
+      v(floor(col("id") / (nn * nz))).as("lon"),
+      v(floor(col("id") / nz) % nn).as("lat"),
+      zOf(col("id") % nz).as("z"),
+      ((floor(col("id") / (nn * nz)) * 13 + (floor(col("id") / nz) % nn) * 7
+        + (col("id") % nz) * 5) % 31).cast("double").as("sst"))
+    val probes = ((0 until 250).map { k =>
+      val x = (k * 37 % 700) / 10.0 - 2.0   // -2 .. 68 (axis tops at 66)
+      val y = (k * 53 % 700) / 10.0 - 2.0
+      val z = (k * 29 % 80) / 10.0 - 0.5    // -0.5 .. 7.5 (axis tops 6)
+      (k.toLong, x, y, z)
+    } ++ Seq(
+      (1000L, tri(6), tri(7), 3.0),  // exact node probe, exact z node
+      (1001L, 22.4, 17.3, 6.0),      // last z node: tz = 1 both planes
+      (1002L, 22.4, 17.3, 0.0)))     // first z node: tz = 0 both planes
+      .toDF("qid", "x", "y", "zq")
+    val g3 = {
+      val vals = new Array[Double](nn * nn * nz)
+      for (i <- 0 until nn; j <- 0 until nn; k <- 0 until nz)
+        vals((i * nn + j) * nz + k) = ((i * 13 + j * 7 + k * 5) % 31).toDouble
+      Grid3D(graft.core.Axis(Array.tabulate(nn)(tri)),
+        graft.core.Axis(Array.tabulate(nn)(tri)),
+        graft.core.Axis(zVals), vals)
+    }
+    assert(!g3.xAxis.isRegular && !g3.zAxis.isRegular)
+    for (zm <- Seq("linear", "nearest")) {
+      val viaTable = GridInterpolator
+        .trivariateTableWindowed(spark, probes, "x", "y", "zq", gridTable,
+          "bicubic", zMethod = zm)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaBroadcast = GridInterpolator
+        .trivariate(spark, probes, "x", "y", "zq", g3, "bicubic",
+          zMethod = zm)
+        .select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaTable.keySet === viaBroadcast.keySet)
+      var nans = 0
+      viaTable.foreach { case (qid, v) =>
+        val b = viaBroadcast(qid)
+        if (v.isNaN || b.isNaN) {
+          assert(v.isNaN === b.isNaN, s"$zm qid $qid: $v vs $b"); nans += 1
+        } else assert(v === b, s"$zm qid $qid: $v vs $b")
+      }
+      assert(nans > 0, s"$zm fixture must exercise NaN faces")
+      assert(!viaTable(1000L).isNaN && !viaTable(1001L).isNaN &&
+        !viaTable(1002L).isNaN)
+      assert(viaTable.values.exists(v => !v.isNaN))
+    }
+  }
+
+  test("4-D table paths on IRREGULAR axes ≡ broadcast") {
+    // triangular spacing on all four axes: the 16-corner geometric join
+    // (1e-12 — summation order differs from the nested broadcast lerp)
+    // and the windowed tile-halo plan (bit-exact — same fits, same
+    // nested combine) both bracket via the broadcast binary search
+    val nn = 9; val nz = 3; val nu = 3
+    def tri(i: Int): Double = i * (i + 1) / 2.0
+    def v(i: org.apache.spark.sql.Column) = (i * (i + 1) / 2).cast("double")
+    val gridTable = spark.range(nn.toLong * nn * nz * nu).select(
+      v(floor(col("id") / (nn * nz * nu))).as("lon"),
+      v(floor(col("id") / (nz * nu)) % nn).as("lat"),
+      v(floor(col("id") / nu) % nz).as("z"),
+      v(col("id") % nu).as("u"),
+      ((floor(col("id") / (nn * nz * nu)) * 13 +
+        (floor(col("id") / (nz * nu)) % nn) * 7 +
+        (floor(col("id") / nu) % nz) * 5 + (col("id") % nu) * 3) % 31)
+        .cast("double").as("sst"))
+    val probes = ((0 until 200).map { k =>
+      val x = (k * 37 % 420) / 10.0 - 2.0
+      val y = (k * 53 % 420) / 10.0 - 2.0
+      val z = (k * 29 % 45) / 10.0 - 0.5   // -0.5 .. 4.0 (axis tops 3)
+      val u = (k * 17 % 45) / 10.0 - 0.5
+      (k.toLong, x, y, z, u)
+    } ++ Seq(
+      (1000L, tri(4), tri(5), 1.0, 3.0),   // node x/y, z node, LAST u
+      (1001L, 12.3, 17.6, 0.0, 0.0)))      // first z and u nodes
+      .toDF("qid", "x", "y", "zq", "uq")
+    val g4 = {
+      val vals = new Array[Double](nn * nn * nz * nu)
+      for (i <- 0 until nn; j <- 0 until nn; k <- 0 until nz;
+           l <- 0 until nu)
+        vals(((i * nn + j) * nz + k) * nu + l) =
+          ((i * 13 + j * 7 + k * 5 + l * 3) % 31).toDouble
+      Grid4D(graft.core.Axis(Array.tabulate(nn)(tri)),
+        graft.core.Axis(Array.tabulate(nn)(tri)),
+        graft.core.Axis(Array.tabulate(nz)(tri)),
+        graft.core.Axis(Array.tabulate(nu)(tri)), vals)
+    }
+    assert(!g4.xAxis.isRegular && !g4.uAxis.isRegular)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def check(viaTable: Map[Long, Double], viaBroadcast: Map[Long, Double],
+              tag: String, exact: Boolean): Unit = {
+      assert(viaTable.keySet === viaBroadcast.keySet)
+      var nans = 0
+      viaTable.foreach { case (qid, v) =>
+        val b = viaBroadcast(qid)
+        if (v.isNaN || b.isNaN) {
+          assert(v.isNaN === b.isNaN, s"$tag qid $qid: $v vs $b"); nans += 1
+        } else if (exact) assert(v === b, s"$tag qid $qid: $v vs $b")
+        else assert(math.abs(v - b) <= 1e-12, s"$tag qid $qid: $v vs $b")
+      }
+      assert(nans > 0, s"$tag fixture must exercise NaN rows")
+      assert(!viaTable(1000L).isNaN && !viaTable(1001L).isNaN, tag)
+      assert(viaTable.values.exists(v => !v.isNaN))
+    }
+    check(
+      toMap(GridInterpolator.quadrivariateTable(spark, probes, "x", "y",
+        "zq", "uq", gridTable, uColName = "u")),
+      toMap(QuadrivariateInterpolator.quadrivariate(spark, probes, "x",
+        "y", "zq", "uq", g4, "bilinear")),
+      "quadrilinear-irregular", exact = false)
+    check(
+      toMap(GridInterpolator.quadrivariateTableWindowed(spark, probes,
+        "x", "y", "zq", "uq", gridTable, "bicubic", uColName = "u")),
+      toMap(QuadrivariateInterpolator.quadrivariate(spark, probes, "x",
+        "y", "zq", "uq", g4, "bicubic")),
+      "windowed4d-irregular", exact = true)
   }
 
   test("quadrivariateTable + Windowed ≡ broadcast quadrivariate") {

@@ -655,6 +655,114 @@ class PeriodicSeamSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("3-D geometric grid-as-table ≡ broadcast across the seam") {
+    // lon-periodic trilinear: the 8-corner join's pmod seam wrap must
+    // reproduce the broadcast kernel, incl. probes past ±180 that only
+    // frame after normalization and probes in the seam cell itself
+    val lonAxis = Axis.regular(-180.0, 175.0, 72, period = 360.0)
+    val latAxis = Axis.regular(-85.0, 85.0, 35)
+    val zAxis = Axis.regular(0.0, 2.0, 3)
+    def f3(lon: Double, lat: Double, z: Double): Double =
+      f(lon, lat) * (1.0 + 0.3 * z)
+    val vals = new Array[Double](72 * 35 * 3)
+    for (i <- 0 until 72; j <- 0 until 35; k <- 0 until 3)
+      vals((i * 35 + j) * 3 + k) = f3(lonAxis(i), latAxis(j), zAxis(k))
+    val g3 = Grid3D(lonAxis, latAxis, zAxis, vals)
+    val rows = for (i <- 0 until 72; j <- 0 until 35; k <- 0 until 3)
+      yield (lonAxis(i), latAxis(j), zAxis(k), vals((i * 35 + j) * 3 + k))
+    val tbl = rows.toDF("lon", "lat", "z", "v")
+    val pts = Seq((177.5, 10.0, 0.75), (-177.5, 10.0, 1.5),
+      (179.9, -20.0, 0.0), (183.0, 0.0, 2.0), (-358.5, 5.0, 1.0),
+      (12.5, 42.5, 0.25), (-180.0, 0.0, 1.75), (175.0, 10.0, 0.5))
+    val df = pts.toDF("x", "y", "zq")
+    val bc = GridInterpolator.trivariate(spark, df, "x", "y", "zq", g3,
+      "bilinear").select("x", "zq", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val tb = GridInterpolator.trivariateTable(spark, df, "x", "y", "zq",
+      tbl, xPeriod = 360.0).select("x", "zq", "value").collect()
+    assert(tb.length === pts.length)
+    tb.foreach { r =>
+      val k = (r.getDouble(0), r.getDouble(1))
+      assert(!r.getDouble(2).isNaN, s"$k NaN on the table path")
+      assert(math.abs(r.getDouble(2) - bc(k)) < 1e-9,
+        s"$k: table ${r.getDouble(2)} vs broadcast ${bc(k)}")
+    }
+  }
+
+  test("4-D geometric grid-as-table ≡ broadcast across the seam") {
+    // lon-periodic quadrilinear through the 16-corner join
+    val lonAxis = Axis.regular(-180.0, 170.0, 36, period = 360.0)
+    val latAxis = Axis.regular(-80.0, 80.0, 17)
+    val zAxis = Axis.regular(0.0, 2.0, 3)
+    val uAxis = Axis.regular(0.0, 1.0, 2)
+    def f4(lon: Double, lat: Double, z: Double, u: Double): Double =
+      f(lon, lat) * (1.0 + 0.3 * z) + 0.2 * u
+    val vals = new Array[Double](36 * 17 * 3 * 2)
+    for (i <- 0 until 36; j <- 0 until 17; k <- 0 until 3; l <- 0 until 2)
+      vals(((i * 17 + j) * 3 + k) * 2 + l) =
+        f4(lonAxis(i), latAxis(j), zAxis(k), uAxis(l))
+    val g4 = Grid4D(lonAxis, latAxis, zAxis, uAxis, vals)
+    val rows = for (i <- 0 until 36; j <- 0 until 17; k <- 0 until 3;
+        l <- 0 until 2)
+      yield (lonAxis(i), latAxis(j), zAxis(k), uAxis(l),
+        vals(((i * 17 + j) * 3 + k) * 2 + l))
+    val tbl = rows.toDF("lon", "lat", "z", "lvl", "v")
+    val pts = Seq((177.0, 0.0, 0.75, 0.5), (-176.0, 30.0, 1.5, 0.25),
+      (184.0, -10.0, 1.0, 1.0), (-541.0, 5.0, 0.5, 0.75),
+      (22.5, 42.5, 2.0, 0.0), (-180.0, 0.0, 0.25, 0.5))
+    val df = pts.toDF("x", "y", "zq", "uq")
+    val bc = QuadrivariateInterpolator.quadrivariate(spark, df, "x", "y",
+      "zq", "uq", g4, "bilinear").select("x", "zq", "uq", "value")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)) ->
+        r.getDouble(3)).toMap
+    val tb = GridInterpolator.quadrivariateTable(spark, df, "x", "y",
+      "zq", "uq", tbl, uColName = "lvl", xPeriod = 360.0)
+      .select("x", "zq", "uq", "value").collect()
+    assert(tb.length === pts.length)
+    tb.foreach { r =>
+      val k = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(!r.getDouble(3).isNaN, s"$k NaN on the table path")
+      assert(math.abs(r.getDouble(3) - bc(k)) < 1e-9,
+        s"$k: table ${r.getDouble(3)} vs broadcast ${bc(k)}")
+    }
+  }
+
+  test("windowed tile evaluation streams probes in bounded chunks") {
+    // probe-skew guard: every probe lands in ONE window tile (the grid
+    // is far smaller than a tile), and ProbeChunk is forced far below
+    // the probe count, so evaluation must run many chunks through the
+    // persistent fit cache — results must match the broadcast kernel
+    // like the unchunked plan does (fits are deterministic per window,
+    // order-free; 1e-9 covers the periodic eval-coordinate rounding)
+    val grid = makeGrid()
+    val tbl = makeGridTable()
+    val pts = (0 until 500).map { k =>
+      ((k * 37 % 3600) / 10.0 - 180.0, (k * 53 % 1400) / 10.0 - 70.0)
+    }
+    val df = pts.toDF("x", "y")
+    val bc = GridInterpolator.bivariate(spark, df, "x", "y", grid,
+      "bicubic").select("x", "y", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val saved = WindowedTileJoin.ProbeChunk
+    try {
+      WindowedTileJoin.ProbeChunk = 7
+      val tb = GridInterpolator.bivariateTableWindowed(spark, df, "x",
+        "y", tbl, "bicubic", xPeriod = 360.0)
+        .select("x", "y", "value").collect()
+      assert(tb.length === pts.size)
+      tb.foreach { r =>
+        val k = (r.getDouble(0), r.getDouble(1))
+        val b = bc(k)
+        if (r.getDouble(2).isNaN || b.isNaN)
+          assert(r.getDouble(2).isNaN === b.isNaN, s"$k")
+        else assert(math.abs(r.getDouble(2) - b) < 1e-9,
+          s"$k chunked vs broadcast")
+      }
+      assert(tb.count(r => !r.getDouble(2).isNaN) > 400)
+    } finally WindowedTileJoin.ProbeChunk = saved
+  }
+
   test("linear binning wraps weights across the seam") {
     val lonAxis = Axis.regular(-180.0, 175.0, 72, period = 360.0)
     val latAxis = Axis.regular(-85.0, 85.0, 35)
