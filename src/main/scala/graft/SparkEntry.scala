@@ -1031,6 +1031,138 @@ object SparkEntry {
           "uq", gridTable, "bicubic", uColName = "u")
         .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
     }),
+    "q_bicubic3d_irregular" -> ((s, dir) => {
+      // 3-D WINDOWED grid-as-table path on IRREGULAR axes: triangular
+      // x/y spacing + triangular z levels (a pressure-like axis), probes
+      // exactly ON interior x/y nodes and on z nodes k <= nz-2 (tz = 0,
+      // so the broadcast-parity combine v0 + 0*(v1-v0) returns plane
+      // k's node value exactly) — the window assembly must still fit
+      // the full irregular 6x6 stencil on BOTH bracketing planes
+      val nn = 21; val nz = 4
+      def v(i: org.apache.spark.sql.Column) =
+        (i * (i + 1) / 2).cast("double")
+      val gridTable = s.range(nn.toLong * nn * nz).select(
+        v(floor(col("id") / (nn * nz))).as("lon"),
+        v(floor(col("id") / nz) % nn).as("lat"),
+        v(col("id") % nz).as("z"),
+        ((floor(col("id") / (nn * nz)) * 31 +
+          (floor(col("id") / nz) % nn) * 17 + (col("id") % nz) * 7) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val i0 = col("o_orderkey") % 14 + 3
+      val j0 = col("o_orderkey") * 7 % 14 + 3
+      val k0 = col("o_orderkey") % 3
+      val probe = orders.select(col("o_orderkey"),
+        v(i0).as("x"), v(j0).as("y"), v(k0).as("zq"))
+      GridInterpolator.trivariateTableWindowed(s, probe, "x", "y", "zq",
+          gridTable, "bicubic")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+    "q_bicubic4d_irregular" -> ((s, dir) => {
+      // 4-D WINDOWED grid-as-table path on IRREGULAR axes: node-fidelity
+      // oracle — probes on interior x/y nodes with z/u on their lower
+      // bracket nodes (tz = tu = 0), so the nested broadcast-parity lerp
+      // collapses to plane (k,l)'s node value exactly while all four
+      // bracketing planes are still assembled and fitted
+      val nn = 21; val nz = 3; val nu = 3
+      def v(i: org.apache.spark.sql.Column) =
+        (i * (i + 1) / 2).cast("double")
+      val gridTable = s.range(nn.toLong * nn * nz * nu).select(
+        v(floor(col("id") / (nn * nz * nu))).as("lon"),
+        v(floor(col("id") / (nz * nu)) % nn).as("lat"),
+        v(floor(col("id") / nu) % nz).as("z"),
+        v(col("id") % nu).as("u"),
+        ((floor(col("id") / (nn * nz * nu)) * 31 +
+          (floor(col("id") / (nz * nu)) % nn) * 17 +
+          (floor(col("id") / nu) % nz) * 7 + (col("id") % nu) * 3) % 97)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderkey") < 30000)
+      val i0 = col("o_orderkey") % 14 + 3
+      val j0 = col("o_orderkey") * 7 % 14 + 3
+      val probe = orders.select(col("o_orderkey"),
+        v(i0).as("x"), v(j0).as("y"),
+        v(col("o_orderkey") % 2).as("zq"),
+        v(col("o_orderkey") * 3 % 2).as("uq"))
+      GridInterpolator.quadrivariateTableWindowed(s, probe, "x", "y",
+          "zq", "uq", gridTable, "bicubic", uColName = "u")
+        .select(col("o_orderkey"), round(col("value"), 6).as("interp"))
+    }),
+    "q_trilinear_biggrid_seam" -> ((s, dir) => {
+      // PERIODIC-LONGITUDE 3-D grid-as-table: full-circle 40-column
+      // lattice (xPeriod 40), half-cell probes in EVERY lon cell with
+      // ±period shifts — the seam cell's right corners wrap to column 0
+      // and all 8 weights are exactly 0.125 (fp-exact any order)
+      val gridTable = s.range(40L * 21L * 5L).select(
+        floor(col("id") / 105).cast("double").as("lon"),
+        (floor(col("id") / 5) % 21).cast("double").as("lat"),
+        (col("id") % 5).cast("double").as("z"),
+        ((floor(col("id") / 105) * 31 + (floor(col("id") / 5) % 21) * 17 +
+          (col("id") % 5) * 7) % 53).cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 40).cast("double") + 0.5 +
+          ((col("o_orderkey") % 3) - 1).cast("double") * 40.0).as("x"),
+        ((col("o_orderkey") * 7 % 20).cast("double") + 0.5).as("y"),
+        ((col("o_orderkey") % 4).cast("double") + 0.5).as("zq"))
+      GridInterpolator.trivariateTable(s, probe, "x", "y", "zq", gridTable,
+          xPeriod = 40.0)
+        .select(col("o_orderkey"), col("value").as("interp"))
+    }),
+    "q_quadrilinear_seam" -> ((s, dir) => {
+      // PERIODIC-LONGITUDE 4-D grid-as-table: full-circle 20-column
+      // lattice, half-cell probes in all four dims with ±period lon
+      // shifts — 16 corners at exactly 1/16, seam column wrapping to 0
+      val gridTable = s.range(20L * 21L * 3L * 3L).select(
+        floor(col("id") / 189).cast("double").as("lon"),
+        (floor(col("id") / 9) % 21).cast("double").as("lat"),
+        (floor(col("id") / 3) % 3).cast("double").as("z"),
+        (col("id") % 3).cast("double").as("u"),
+        ((floor(col("id") / 189) * 31 + (floor(col("id") / 9) % 21) * 17 +
+          (floor(col("id") / 3) % 3) * 7 + (col("id") % 3) * 3) % 53)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        ((col("o_orderkey") % 20).cast("double") + 0.5 +
+          ((col("o_orderkey") % 3) - 1).cast("double") * 20.0).as("x"),
+        ((col("o_orderkey") * 7 % 20).cast("double") + 0.5).as("y"),
+        ((col("o_orderkey") % 2).cast("double") + 0.5).as("zq"),
+        ((col("o_orderkey") * 3 % 2).cast("double") + 0.5).as("uq"))
+      GridInterpolator.quadrivariateTable(s, probe, "x", "y", "zq", "uq",
+          gridTable, uColName = "u", xPeriod = 20.0)
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
+    "q_quadrilinear_irregular" -> ((s, dir) => {
+      // 4-D grid-as-table on IRREGULAR axes (triangular spacing on all
+      // four): probes at exact node midpoints of every axis — the
+      // midpoint of consecutive triangular numbers is (i0+1)²/2, all
+      // bracket weights exactly 0.5, so interp = mean of the 16 corners
+      // (1/16 weights, fp-exact in any order) found via the broadcast
+      // binary search
+      val nn = 11; val nz = 3; val nu = 3
+      def v(i: org.apache.spark.sql.Column) =
+        (i * (i + 1) / 2).cast("double")
+      def mid(i: org.apache.spark.sql.Column) =
+        ((i + 1) * (i + 1)).cast("double") / 2.0
+      val gridTable = s.range(nn.toLong * nn * nz * nu).select(
+        v(floor(col("id") / (nn * nz * nu))).as("lon"),
+        v(floor(col("id") / (nz * nu)) % nn).as("lat"),
+        v(floor(col("id") / nu) % nz).as("z"),
+        v(col("id") % nu).as("u"),
+        ((floor(col("id") / (nn * nz * nu)) * 31 +
+          (floor(col("id") / (nz * nu)) % nn) * 17 +
+          (floor(col("id") / nu) % nz) * 7 + (col("id") % nu) * 3) % 53)
+          .cast("double").as("sst"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      val probe = orders.select(col("o_orderkey"),
+        mid(col("o_orderkey") % 10).as("x"),
+        mid(col("o_orderkey") * 7 % 10).as("y"),
+        mid(col("o_orderkey") % 2).as("zq"),
+        mid(col("o_orderkey") * 3 % 2).as("uq"))
+      GridInterpolator.quadrivariateTable(s, probe, "x", "y", "zq", "uq",
+          gridTable, uColName = "u")
+        .select(col("o_orderkey"), round(col("value"), 9).as("interp"))
+    }),
     "q_bicubic_grid" -> ((s, dir) => {
       // bicubic values have no SQL closed form -> rows-only check
       val orders = s.read.parquet(t(dir, "orders"))
@@ -1832,6 +1964,30 @@ object SparkEntry {
           round(col("value"), 6).as("value"),
           col("filled").cast("int").as("filled"))
     }),
+    "q_fill_loess_seam" -> ((s, dir) => {
+      // PERIODIC-X distributed loess fill: the same one-pass-fillable
+      // hole pattern, but x windows wrap MODULO the axis (the reference
+      // frame_index's is_angle branch) instead of reflecting — seam
+      // columns 0/47 draw their x neighbors across the wrap (which the
+      // mapped-index tricube then weighs by the wrapped distance), so a
+      // broken seam changes both the weights and the neighbor set. The
+      // oracle recomputes the closed form with modular x indexes.
+      val nn = 48
+      val iC = floor(col("id") / nn)
+      val jC = col("id") % nn
+      val grid = s.range(nn.toLong * nn).select(
+        iC.cast("double").as("x"), jC.cast("double").as("y"),
+        when((iC + jC) % 3 =!= 1,
+          ((iC * 7 + jC * 13) % 19).cast("double") + 0.25)
+          .otherwise(lit(Double.NaN)).as("v"))
+      graft.operators.FillTable.loessTable(s, grid, "x", "y", "v",
+          nxWin = 2, nyWin = 2, blockSize = 16, maxIterations = 5,
+          periodicX = true)
+        .select(col("x").cast("int").as("ci"),
+          col("y").cast("int").as("cj"),
+          round(col("value"), 6).as("value"),
+          col("filled").cast("int").as("filled"))
+    }),
     "q_fill_multigrid" -> ((s, dir) => {
       // fill.multigrid on the same harmonic-plane fixture as gauss_seidel:
       // converged V-cycles reproduce the plane, center = 24 + n
@@ -2163,6 +2319,39 @@ object SparkEntry {
           |FROM cells c LEFT JOIN fl f ON f.i = c.i AND f.j = c.j"""
           .stripMargin.replace("\n", " "),
 
+      // periodic-x loess oracle: x window indexes wrap MODULO the axis
+      // (frame_index is_angle), weights still tricube of the MAPPED
+      // index difference — cross-seam visits land at |dx| >> 1 and
+      // weigh 0, while y keeps the reflected edge mapping
+      "q_fill_loess_seam" ->
+        """WITH cells AS (SELECT i, j,
+          |  CASE WHEN (i + j) % 3 <> 1
+          |   THEN CAST((i * 7 + j * 13) % 19 AS DOUBLE) + 0.25 END AS z
+          |  FROM range(0, 48) ti(i), range(0, 48) tj(j)),
+          | offs AS (SELECT oi, oj
+          |  FROM range(-2, 3) a(oi), range(-2, 3) b(oj)),
+          | stencil AS (SELECT c.i, c.j,
+          |   CAST((c.i + o.oi + 48) % 48 AS BIGINT) AS wi,
+          |   CASE WHEN c.j + o.oj < 0 THEN -(c.j + o.oj)
+          |    WHEN c.j + o.oj > 47 THEN 94 - (c.j + o.oj)
+          |    ELSE c.j + o.oj END AS wj
+          |  FROM cells c CROSS JOIN offs o WHERE c.z IS NULL),
+          | contrib AS (SELECT s.i, s.j, n.z AS nz,
+          |   (s.wi - s.i) / 2.0 AS dx, (s.wj - s.j) / 2.0 AS dy
+          |  FROM stencil s JOIN cells n ON n.i = s.wi AND n.j = s.wj
+          |  WHERE n.z IS NOT NULL),
+          | wts AS (SELECT i, j, nz,
+          |  CASE WHEN sqrt(dx * dx + dy * dy) > 1.0 THEN 0.0
+          |   ELSE power(1.0 - power(sqrt(dx * dx + dy * dy), 3), 3)
+          |   END AS wt FROM contrib),
+          | fl AS (SELECT i, j, SUM(wt * nz) / SUM(wt) AS z
+          |  FROM wts GROUP BY i, j)
+          |SELECT CAST(c.i AS INT) AS ci, CAST(c.j AS INT) AS cj,
+          | round(COALESCE(c.z, f.z), 6) AS value,
+          | CAST(CASE WHEN c.z IS NULL THEN 1 ELSE 0 END AS INT) AS filled
+          |FROM cells c LEFT JOIN fl f ON f.i = c.i AND f.j = c.j"""
+          .stripMargin.replace("\n", " "),
+
       "q_fill_multigrid" ->
         """SELECT n_nationkey AS n,
           | CAST(24 + n_nationkey AS DOUBLE) AS center
@@ -2301,6 +2490,69 @@ object SparkEntry {
 
       "q_bicubic4d_biggrid" ->
         SparkEntry.midStencil4dSql(SparkEntry.bicubicMidStencil),
+
+      // node fidelity on the irregular 3-D windowed table path: probes
+      // on interior x/y nodes at z nodes k <= nz-2 (tz = 0) return
+      // plane k's node value exactly
+      "q_bicubic3d_irregular" ->
+        """SELECT o_orderkey,
+          | round(CAST(((o_orderkey % 14 + 3) * 31 +
+          |   (o_orderkey * 7 % 14 + 3) * 17 + (o_orderkey % 3) * 7)
+          |   % 97 AS DOUBLE), 6) AS interp
+          |FROM orders""".stripMargin.replace("\n", " "),
+
+      // node fidelity on the irregular 4-D windowed table path
+      "q_bicubic4d_irregular" ->
+        """SELECT o_orderkey,
+          | round(CAST(((o_orderkey % 14 + 3) * 31 +
+          |   (o_orderkey * 7 % 14 + 3) * 17 + (o_orderkey % 2) * 7 +
+          |   (o_orderkey * 3 % 2) * 3) % 97 AS DOUBLE), 6) AS interp
+          |FROM orders WHERE o_orderkey < 30000"""
+          .stripMargin.replace("\n", " "),
+
+      // half-cell probes on the full-circle 3-D lattice: trilinear =
+      // mean of 8 corners with the seam cell's right column wrapping
+      "q_trilinear_biggrid_seam" ->
+        """WITH p AS (SELECT o_orderkey,
+          |  CAST(o_orderkey % 40 AS INT) AS i0,
+          |  CAST(o_orderkey * 7 % 20 AS INT) AS j0,
+          |  CAST(o_orderkey % 4 AS INT) AS k0 FROM orders),
+          | c AS (SELECT o_orderkey,
+          |  CAST(((i0 + di.d) % 40) * 31 + (j0 + dj.d) * 17 +
+          |    (k0 + dk.d) * 7 AS BIGINT) AS f
+          |  FROM p, (VALUES (0), (1)) di(d), (VALUES (0), (1)) dj(d),
+          |   (VALUES (0), (1)) dk(d))
+          |SELECT o_orderkey,
+          | SUM(CAST(f % 53 AS DOUBLE)) / 8.0 AS interp
+          |FROM c GROUP BY o_orderkey""".stripMargin.replace("\n", " "),
+
+      // 16-corner quadrilinear at half-cell offsets on the full-circle
+      // 4-D lattice: exact 1/16 weights, seam column wrapping to 0
+      "q_quadrilinear_seam" -> {
+        val corners = for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1;
+            dl <- 0 to 1) yield
+          s"CAST((((o_orderkey % 20 + $di) % 20) * 31 + " +
+            s"(o_orderkey * 7 % 20 + $dj) * 17 + " +
+            s"(o_orderkey % 2 + $dk) * 7 + (o_orderkey * 3 % 2 + $dl) * 3)" +
+            s" % 53 AS DOUBLE)"
+        s"""SELECT o_orderkey,
+           | round(0.0625 * (${corners.mkString(" + ")}), 9) AS interp
+           |FROM orders""".stripMargin.replace("\n", " ")
+      },
+
+      // node-midpoint probes on the irregular 4-D lattice: all bracket
+      // weights exactly 0.5 -> mean of the 16 corners, fp-exact
+      "q_quadrilinear_irregular" -> {
+        val corners = for (di <- 0 to 1; dj <- 0 to 1; dk <- 0 to 1;
+            dl <- 0 to 1) yield
+          s"CAST(((o_orderkey % 10 + $di) * 31 + " +
+            s"(o_orderkey * 7 % 10 + $dj) * 17 + " +
+            s"(o_orderkey % 2 + $dk) * 7 + (o_orderkey * 3 % 2 + $dl) * 3)" +
+            s" % 53 AS DOUBLE)"
+        s"""SELECT o_orderkey,
+           | round(0.0625 * (${corners.mkString(" + ")}), 9) AS interp
+           |FROM orders""".stripMargin.replace("\n", " ")
+      },
 
       "q_bicubic_nodes" ->
         """SELECT o_orderkey,

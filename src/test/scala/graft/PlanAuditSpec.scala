@@ -134,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // table — the r4 shuffle-amplification shape this replaced)
     for (q <- Seq("q_bicubic_biggrid", "q_bicubic_biggrid_seam",
         "q_bicubic_irregular", "q_bicubic3d_biggrid",
-        "q_bicubic4d_biggrid")) {
+        "q_bicubic3d_irregular", "q_bicubic4d_biggrid",
+        "q_bicubic4d_irregular")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -148,8 +149,10 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("GEOMETRIC grid-as-table paths keep the small corner join") {
-    // 4/8/16-corner fan-out is the right shape for the geometric paths
-    for (q <- Seq("q_quadrilinear_biggrid", "q_trilinear_biggrid")) {
+    // 4/8/16-corner fan-out is the right shape for the geometric paths;
+    // the seam variants must keep the same join shape (pmod keys only)
+    for (q <- Seq("q_quadrilinear_biggrid", "q_trilinear_biggrid",
+        "q_trilinear_biggrid_seam", "q_quadrilinear_seam")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
