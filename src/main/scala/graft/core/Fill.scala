@@ -24,11 +24,19 @@ object Fill {
       t * t * t
     }
 
-  /** One LOESS pass. valueType: "all" | "defined" | "undefined". */
+  /** One LOESS pass. valueType: "all" | "defined" | "undefined".
+    * `validity` (defaults to `values`) is the matrix the process-or-skip
+    * check reads — the reference's `data_validity` split
+    * (`fill/loess.hpp:115-131` process_row takes values and validity
+    * separately so the iterative driver can re-smooth the ORIGINAL
+    * holes against an already-filled state).
+    */
   def loess(values: Array[Double], nxSize: Int, nySize: Int, nx: Int,
             ny: Int, valueType: String = "undefined",
-            periodicX: Boolean = false): Array[Double] = {
+            periodicX: Boolean = false,
+            validity: Array[Double] = null): Array[Double] = {
     val out = new Array[Double](values.length)
+    val valid = if (validity == null) values else validity
     val nxInv = 1.0 / nx
     val nyInv = 1.0 / ny
     var i = 0
@@ -36,10 +44,11 @@ object Fill {
       var j = 0
       while (j < nySize) {
         val v = values(i * nySize + j)
+        val gate = valid(i * nySize + j)
         val process = valueType match {
           case "all" => true
-          case "defined" => !v.isNaN
-          case "undefined" => v.isNaN
+          case "defined" => !gate.isNaN
+          case "undefined" => gate.isNaN
         }
         if (!process) out(i * nySize + j) = v
         else {
@@ -104,6 +113,64 @@ object Fill {
       it += 1
     }
     (cur, it)
+  }
+
+  /** REFERENCE-PARITY iterative loess (`fill/loess.hpp:216-250` driver):
+    * every hole is first-guessed at once — "zonal_average" here is the
+    * reference loess driver's GLOBAL mean of all defined values
+    * (`loess.hpp:141-152` compute_zonal_average, unlike gauss_seidel's
+    * per-band zonal), "zero" is 0 — then each pass re-smooths the
+    * ORIGINAL holes against the previous full (NaN-free) state, until
+    * max |change| < epsilon or maxIterations. This differs from the
+    * progressive [[loessIterative]] default (holes fill outward with no
+    * first-guess bias). `maxIterations == 1` mirrors the reference's
+    * single-pass branch (`loess.hpp:221-225`): NO first guess, raw
+    * one-pass smoothing — identical to [[loess]].
+    */
+  def loessReference(values: Array[Double], nxSize: Int, nySize: Int,
+                     nx: Int, ny: Int, firstGuess: String = "zonal_average",
+                     maxIterations: Int = 10, epsilon: Double = 1e-6,
+                     periodicX: Boolean = false): (Array[Double], Int) = {
+    if (maxIterations == 1)
+      return (loess(values, nxSize, nySize, nx, ny, "undefined",
+        periodicX), 1)
+    val cur = values.clone()
+    val fillValue = firstGuess match {
+      case "zero" => 0.0
+      case "zonal_average" =>
+        var s = 0.0
+        var c = 0
+        var k = 0
+        while (k < cur.length) {
+          if (!cur(k).isNaN) { s += cur(k); c += 1 }
+          k += 1
+        }
+        if (c > 0) s / c else 0.0
+      case other => throw new IllegalArgumentException(s"firstGuess $other")
+    }
+    var k = 0
+    while (k < cur.length) {
+      if (cur(k).isNaN) cur(k) = fillValue
+      k += 1
+    }
+    var state = cur
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val next = loess(state, nxSize, nySize, nx, ny, "undefined",
+        periodicX, validity = values)
+      var maxDiff = 0.0
+      var m = 0
+      while (m < state.length) {
+        val d = math.abs(next(m) - state(m))
+        if (!d.isNaN && d > maxDiff) maxDiff = d
+        m += 1
+      }
+      state = next
+      it += 1
+      if (maxDiff < epsilon) converged = true
+    }
+    (state, it)
   }
 
   /** First-guess initialization of masked cells (`fill/helpers.hpp:29-64`

@@ -142,6 +142,63 @@ class FillSpec extends AnyFunSuite {
     assert(out(2 * ny + 2) == f(2, 2))
   }
 
+  test("loessReference matches the reference iterative driver on a " +
+      "hole blob") {
+    // reference fill/loess.hpp:216-250 semantics: global-mean first
+    // guess of EVERY hole, then each pass re-smooths the ORIGINAL holes
+    // against the previous full state, converging on max |change|.
+    // Expected values recomputed here by an independent direct loop.
+    val nx = 12; val ny = 12
+    def f(i: Int, j: Int) = 0.3 * i - 0.2 * j + 1.5
+    val vals = Array.tabulate(nx * ny)(k => f(k / ny, k % ny))
+    // a 3x3 hole blob (windows see other holes -> iteration matters)
+    for (i <- 4 to 6; j <- 4 to 6) vals(i * ny + j) = Double.NaN
+    val holes = for (i <- 4 to 6; j <- 4 to 6) yield (i, j)
+    val maxIt = 4
+    val (got, its) = Fill.loessReference(vals, nx, ny, 2, 2,
+      maxIterations = maxIt, epsilon = 0.0) // run all passes
+    assert(its === maxIt)
+    // independent reimplementation of the driver
+    var known = 0.0; var cnt = 0
+    for (k <- vals.indices if !vals(k).isNaN) { known += vals(k); cnt += 1 }
+    val mean = known / cnt
+    var st = vals.map(v => if (v.isNaN) mean else v)
+    for (_ <- 0 until maxIt) {
+      val nxt = st.clone()
+      for ((i, j) <- holes) {
+        var ws = 0.0; var wvs = 0.0
+        for (oi <- -2 to 2; oj <- -2 to 2) {
+          val wi = graft.core.GeoMath.reflectIndex(i + oi, nx)
+          val wj = graft.core.GeoMath.reflectIndex(j + oj, ny)
+          val dx = (wi - i) / 2.0; val dy = (wj - j) / 2.0
+          val d = math.sqrt(dx * dx + dy * dy)
+          if (d <= 1.0) {
+            val t = 1 - d * d * d; val w = t * t * t
+            ws += w; wvs += w * st(wi * ny + wj)
+          }
+        }
+        nxt(i * ny + j) = wvs / ws
+      }
+      st = nxt
+    }
+    for (k <- vals.indices)
+      assert(got(k) === st(k), s"cell $k: ${got(k)} vs ${st(k)}")
+    // the first-guess bias is visible: pass-1 hole values pull toward
+    // the global mean, unlike the progressive loessIterative
+    val (prog, _) = Fill.loessIterative(vals, nx, ny, 2, 2,
+      maxIterations = maxIt, epsilon = 0.0)
+    assert(holes.exists { case (i, j) =>
+      math.abs(got(i * ny + j) - prog(i * ny + j)) > 1e-9 })
+    // maxIterations == 1 takes the reference single-pass branch: no
+    // first guess, raw one-pass smoothing (loess.hpp:221-225)
+    val single = Array.tabulate(nx * ny)(k => f(k / ny, k % ny))
+    single(5 * ny + 5) = Double.NaN
+    val (refOne, _) = Fill.loessReference(single, nx, ny, 2, 2,
+      maxIterations = 1)
+    val progOne = Fill.loess(single, nx, ny, 2, 2, "undefined")
+    assert(refOne(5 * ny + 5) === progOne(5 * ny + 5))
+  }
+
   test("gauss_seidel converges to harmonic fill") {
     val n = 16
     // boundary = linear field (harmonic), interior NaN -> must recover it
