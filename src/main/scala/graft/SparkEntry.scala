@@ -1964,6 +1964,49 @@ object SparkEntry {
           round(col("value"), 6).as("value"),
           col("filled").cast("int").as("filled"))
     }),
+    "q_fill_gs_seam" -> ((s, dir) => {
+      // PERIODIC-X distributed Gauss-Seidel: only the y-boundary rows
+      // are known (an x-periodic sin profile + a rough i%5 component),
+      // so every interior column relaxes through the WRAPPED halo —
+      // a broken seam leaves the i=0/i=31 columns solving a different
+      // linear system. No closed form -> tolerance-flag oracle: the
+      // in-core periodic solver at tight epsilon (driver-side, 32x32)
+      // is the truth; the distributed RAS solve must land within 1e-3
+      // per cell (the FillTableSpec parity bound is < 1e-4). DuckDB
+      // emits the same literal flags/counts.
+      import s.implicits._
+      val nn = 32
+      val w = 2 * math.Pi / nn
+      val iC = floor(col("id") / nn)
+      val jC = col("id") % nn
+      val grid = s.range(nn.toLong * nn).select(
+        iC.cast("double").as("x"), jC.cast("double").as("y"),
+        when(jC === 0 || jC === nn - 1,
+          sin(iC.cast("double") * w) * 3.0 +
+            jC.cast("double") * 0.5 + (iC % 5).cast("double"))
+          .otherwise(lit(Double.NaN)).as("v"))
+      val dist = graft.operators.FillTable.gaussSeidelTable(s, grid,
+        "x", "y", "v", blockSize = 16, haloWidth = 8, innerSweeps = 60,
+        maxSuperIterations = 120, epsilon = 1e-8, periodicX = true)
+      val vals = Array.tabulate(nn * nn) { k =>
+        val i = k / nn; val j = k % nn
+        if (j == 0 || j == nn - 1) math.sin(i * w) * 3.0 + j * 0.5 + (i % 5)
+        else Double.NaN
+      }
+      val (core, _, _) = graft.core.Fill.gaussSeidel(vals, nn, nn,
+        periodicX = true, maxIterations = 20000, epsilon = 1e-10)
+      val coreDf = (0 until nn * nn)
+        .map(k => (k / nn, k % nn, core(k))).toDF("ci", "cj", "truth")
+      dist.select(col("x").cast("int").as("ci"),
+          col("y").cast("int").as("cj"), col("value"), col("filled"))
+        .join(coreDf, Seq("ci", "cj"))
+        .agg(
+          (max(abs(col("value") - col("truth"))) <= 1e-3).as("within_tol"),
+          count(lit(1)).cast("int").as("n_cells"),
+          sum(col("filled").cast("int")).cast("int").as("n_filled"),
+          (sum(when(isnan(col("value")), 1).otherwise(0)) === 0)
+            .as("all_finite"))
+    }),
     "q_fill_loess_seam" -> ((s, dir) => {
       // PERIODIC-X distributed loess fill: the same one-pass-fillable
       // hole pattern, but x windows wrap MODULO the axis (the reference
@@ -2317,6 +2360,13 @@ object SparkEntry {
           | round(COALESCE(c.z, f.z), 6) AS value,
           | CAST(CASE WHEN c.z IS NULL THEN 1 ELSE 0 END AS INT) AS filled
           |FROM cells c LEFT JOIN fl f ON f.i = c.i AND f.j = c.j"""
+          .stripMargin.replace("\n", " "),
+
+      // periodic-x gauss-seidel tolerance-flag oracle: the Spark side
+      // compares the distributed solve to the in-core periodic truth
+      "q_fill_gs_seam" ->
+        """SELECT TRUE AS within_tol, 1024 AS n_cells,
+          | 960 AS n_filled, TRUE AS all_finite"""
           .stripMargin.replace("\n", " "),
 
       // periodic-x loess oracle: x window indexes wrap MODULO the axis
