@@ -59,6 +59,15 @@ object FillTable {
     */
   @volatile private[graft] var lastSuperIterations: Int = 0
 
+  /** Max coarse-restriction rows collected to the driver per
+    * super-iteration of [[gaussSeidelTable]]: beyond it the restriction
+    * aggregates to super-blocks distributedly first (a second coarse
+    * level). 256k rows ≈ 10 MB — generous for any driver, reached only
+    * past ~256k blocks (e.g. a 131k² lattice at blockSize 256). Var so
+    * specs can force the super-block path on small fixtures.
+    */
+  @volatile private[operators] var CoarseDriverGate: Long = 1L << 18
+
   /** In-core coarse companion problem of the two-level acceleration: one
     * value per block. Blocks containing any KNOWN cell are Dirichlet
     * anchors at their known-cell mean; fully-masked blocks solve the
@@ -248,6 +257,7 @@ object FillTable {
     val nbx = (nx + b - 1) / b
     val nby = (ny + b - 1) / b
     var corr: scala.collection.Map[Long, Double] = null
+    var corrEdge = b // cell edge of the blocks `corr` is keyed by
     var coarseActive = coarseDamping > 0.0
     var prevResidual = Double.MaxValue
     while (it < maxSuperIterations && residual > epsilon) {
@@ -258,12 +268,14 @@ object FillTable {
       val corrBc =
         if (corr == null || corr.isEmpty) null
         else spark.sparkContext.broadcast(corr)
+      val corrB = corrEdge
       val base =
         if (corrBc == null) state
         else state.map { c =>
           if (!c.mask) c
           else {
-            val bk = ((c.ci / b).toLong << 32) | ((c.cj / b) & 0xFFFFFFFFL)
+            val bk = ((c.ci / corrB).toLong << 32) |
+              ((c.cj / corrB) & 0xFFFFFFFFL)
             val e = corrBc.value.getOrElse(bk, 0.0)
             if (e == 0.0) c else c.copy(z = c.z + e)
           }
@@ -349,18 +361,32 @@ object FillTable {
             coarseActive)
       }
       // restrict the current block means and solve the coarse companion
-      // problem for the next iteration's correction (O(block count) rows
-      // to the driver; a second coarse level would be needed before
-      // block counts themselves outgrow the driver)
+      // problem for the next iteration's correction. The collect is
+      // O(restricted block count): when nbx·nby outgrows
+      // [[CoarseDriverGate]], the restriction coarsens DISTRIBUTEDLY to
+      // super-blocks of sb·blockSize cells first (the second coarse
+      // level), so the driver never holds more than the gate — the
+      // correction is then applied at super-block resolution, which
+      // still carries the global (smooth) error the fine sweeps can't,
+      // and the self-retiring gate keeps the endgame pure RAS either way
       if (coarseActive) {
+        val nBlocks = nbx.toLong * nby
+        val sb =
+          if (nBlocks <= CoarseDriverGate) 1
+          else math.ceil(math.sqrt(nBlocks.toDouble / CoarseDriverGate))
+            .toInt
+        val cb = b * sb
+        val nbx2 = (nx + cb - 1) / cb
+        val nby2 = (ny + cb - 1) / cb
         val blockStats = next.toDF()
-          .groupBy((col("ci") / b).cast("int").as("bi"),
-            (col("cj") / b).cast("int").as("bj"))
+          .groupBy((col("ci") / cb).cast("int").as("bi"),
+            (col("cj") / cb).cast("int").as("bj"))
           .agg(avg(col("z")).as("v"),
             max(when(col("mask"), 0).otherwise(1)).as("hasKnown"))
           .collect()
-        corr = coarseValueSolve(blockStats, nbx, nby, perX)
+        corr = coarseValueSolve(blockStats, nbx2, nby2, perX)
           .map { case (k, v) => k -> v * coarseDamping }
+        corrEdge = cb
       } else corr = null
       if (corrBc != null) corrBc.destroy()
       // `next` is materialized (eager checkpoint) and the residual no

@@ -81,6 +81,45 @@ class FillTableSpec extends AnyFunSuite {
       s"two-level not faster: one-level=$one8x8 two-level=$two8x8")
   }
 
+  test("coarse restriction super-blocks past the driver gate") {
+    // at extreme block counts the per-iteration coarse collect must not
+    // scale with nbx*nby: force the gate far below the block count so
+    // the restriction aggregates to super-blocks distributedly before
+    // collecting (a second coarse level) — the solve must still
+    // converge to the harmonic plane, the correction staying a global
+    // accelerator (iterations comparable to the ungated run)
+    val m = 96
+    val iC = floor(col("id") / m)
+    val jC = col("id") % m
+    def grid() = spark.range(m.toLong * m).select(
+      iC.cast("double").as("x"), jC.cast("double").as("y"),
+      when(iC === 0 || jC === 0 || iC === m - 1 || jC === m - 1,
+        iC.cast("double") + jC.cast("double") * 2.0)
+        .otherwise(lit(Double.NaN)).as("v"))
+    def run(): (Int, Double) = {
+      val out = FillTable.gaussSeidelTable(spark, grid(), "x", "y", "v",
+        blockSize = 12, haloWidth = 8, innerSweeps = 100,
+        maxSuperIterations = 120, epsilon = 1e-6)
+      val center = out.filter(col("x") === 48.0 && col("y") === 48.0)
+        .select("value").head().getDouble(0)
+      (FillTable.lastSuperIterations, center)
+    }
+    val saved = FillTable.CoarseDriverGate
+    try {
+      val (ungated, c0) = run()                 // 8x8 blocks, gate off
+      FillTable.CoarseDriverGate = 16L          // forces sb=2 (4x4 super)
+      val (gated, c1) = run()
+      assert(math.abs(c0 - 144.0) < 1e-3 && math.abs(c1 - 144.0) < 1e-3,
+        s"convergence broke: $c0 / $c1")
+      assert(gated < 120, s"gated run hit the iteration cap: $gated")
+      // super-block corrections are coarser, so a few extra outers are
+      // fine — but the global acceleration must survive
+      assert(gated <= ungated * 2 + 4,
+        s"super-blocked coarse level lost its effect: " +
+          s"ungated=$ungated gated=$gated")
+    } finally FillTable.CoarseDriverGate = saved
+  }
+
   test("superseded super-iteration states are released promptly") {
     // every super-iteration localCheckpoints the next lattice state; the
     // prior state's blocks must be freed explicitly (not left to driver
