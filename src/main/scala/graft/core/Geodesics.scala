@@ -232,36 +232,221 @@ object Geodesics {
       done || fixedIterations > 0)
   }
 
-  /** Robust inverse: Vincenty with a raised iteration cap everywhere it
-    * converges; inside the near-antipodal stall region the answer comes
-    * from [[shootingInverse]] — 2-D Newton shooting on the exact geodesic
-    * ODEs (no series truncation; accuracy set by the RK4 step). Falls
-    * back to the reduced-latitude great-circle bound only if the shooting
-    * fails to converge.
+  /** Karney strategy: the SERIES inverse of Karney (2013), "Algorithms
+    * for geodesics", J. Geodesy 87(1):43-55 (public), on the principal
+    * branch — the auxiliary-sphere formulation with the published
+    * ε-series for the I1 (distance) and I3 (longitude) integrals,
+    * solved by bracketed bisection on the departure azimuth (λ12(α1) is
+    * monotone on the canonical arrangement, paper §4). Inside the
+    * narrow near-antipodal ambiguity region, where the shortest
+    * geodesic leaves the principal branch (the paper resolves it with
+    * the astroid construction), the bracket fails by construction and
+    * the answer comes from [[shootingInverse]] — 2-D Newton shooting on
+    * the exact geodesic ODEs (no series truncation) — with the
+    * raised-cap Vincenty chain as the last resort.
     */
   def karney(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
-             s: Spheroid = Spheroid.Wgs84): Inverse = {
-    val dl = math.abs(normLonDiff(lon2 - lon1))
-    val nearAntipodal = dl > 179.5 && math.abs(lat1 + lat2) < 0.5
-    if (!nearAntipodal) {
-      // CONVERGENCE-based routing (not just the fixed angular box): a
-      // capped-but-still-moving λ iteration is a silently wrong distance,
-      // so those cases go through the exact shooting solver too
-      val (res, converged) = vincentyImpl(lon1, lat1, lon2, lat2, s, 200)
-      if (converged) res
-      else shootingInverse(lon1, lat1, lon2, lat2, s).getOrElse(res)
+             s: Spheroid = Spheroid.Wgs84): Inverse =
+    karneySeries(lon1, lat1, lon2, lat2, s).getOrElse {
+      shootingInverse(lon1, lat1, lon2, lat2, s).getOrElse {
+        val (res, converged) = vincentyImpl(lon1, lat1, lon2, lat2, s, 200)
+        if (converged) res
+        else {
+          val u1 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat1)))
+          val u2 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat2)))
+          val dlr = math.toRadians(math.abs(normLonDiff(lon2 - lon1)))
+          val cosd = math.sin(u1) * math.sin(u2) +
+            math.cos(u1) * math.cos(u2) * math.cos(dlr)
+          val d = math.acos(math.max(-1.0, math.min(1.0, cosd)))
+          val r = (2.0 * s.a + s.b) / 3.0
+          val (a1, a2) = reducedAzimuths(lon1, lat1, lon2, lat2, s)
+          Inverse(d * r, a1, a2)
+        }
+      }
     }
-    else shootingInverse(lon1, lat1, lon2, lat2, s).getOrElse {
-      val u1 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat1)))
-      val u2 = math.atan((1.0 - s.f) * math.tan(math.toRadians(lat2)))
-      val dlr = math.toRadians(dl)
-      val cosd = math.sin(u1) * math.sin(u2) +
-        math.cos(u1) * math.cos(u2) * math.cos(dlr)
-      val d = math.acos(math.max(-1.0, math.min(1.0, cosd)))
-      val r = (2.0 * s.a + s.b) / 3.0
-      val (a1, a2) = reducedAzimuths(lon1, lat1, lon2, lat2, s)
-      Inverse(d * r, a1, a2)
+
+  /** Series inverse on the principal branch (Karney 2013; series
+    * truncated at the order where WGS84 residuals are far below a
+    * micrometre — ε ≈ n ≈ 1.7e-3, so dropped ε⁴⁺ terms of the I3 series
+    * enter λ at ~1e-13 rad). Validated against the exact meridian-arc
+    * quadrature, the equatorial closed form, and converged Vincenty
+    * (see GeodesicsSpec). Returns None when the target longitude cannot
+    * be bracketed on [tiny, π − tiny] — the near-antipodal region whose
+    * shortest geodesic needs the astroid branch; callers fall back to
+    * the exact-ODE shooting solver there.
+    */
+  private[core] def karneySeries(lon1: Double, lat1: Double, lon2: Double,
+      lat2: Double, s: Spheroid): Option[Inverse] = {
+    val f = s.f
+    val n = f / (2.0 - f)
+    val ep2 = s.e2 / (1.0 - s.e2)
+    val tiny = 1e-14
+
+    // ---- canonical arrangement: lam12 = |Δλ| ∈ [0, π], |φ1| ≥ |φ2|,
+    // φ1 ≤ 0; azimuth signs restored at the end ----
+    val lon12 = normLonDiff(lon2 - lon1)
+    var lonSign = if (lon12 >= 0) 1.0 else -1.0
+    val lam12 = math.toRadians(math.abs(lon12))
+    var phi1 = lat1; var phi2 = lat2
+    val swapP = math.abs(phi1) < math.abs(phi2)
+    // swapping the endpoints negates the longitude difference, so the
+    // mirror that made it positive flips with it (Karney 2013 §4)
+    if (swapP) { val t = phi1; phi1 = phi2; phi2 = t; lonSign = -lonSign }
+    val latSign = if (phi1 <= 0) 1.0 else -1.0
+    phi1 *= latSign; phi2 *= latSign
+
+    if (math.abs(phi1 - phi2) < 1e-13 && lam12 < 1e-13)
+      return Some(Inverse(0.0, 0.0, 0.0))
+
+    def sincosBeta(phi: Double): (Double, Double) = {
+      val b = math.atan((1.0 - f) * math.tan(math.toRadians(phi)))
+      (math.sin(b), math.cos(b))
     }
+    val (sb1raw, cb1) = sincosBeta(phi1)
+    val (sb2, cb2) = sincosBeta(phi2)
+    // both points exactly on the equator: the σ parametrization is
+    // degenerate (sinβ = 0 along the whole path), but the geodesic IS
+    // the equator whenever λ12 ≤ (1−f)·π (Karney 2013 §4) — closed form
+    if (sb1raw == 0.0 && sb2 == 0.0) {
+      if (lam12 <= (1.0 - f) * math.Pi) {
+        val sw = if (swapP) -1.0 else 1.0
+        val az = math.toDegrees(math.atan2(sw * lonSign, 0.0))
+        return Some(Inverse(s.a * lam12, az, az))
+      } else return None // equator no longer shortest: astroid territory
+    }
+    // resolve the equatorial σ ambiguity like the published library's
+    // "tiny" trick: an exactly-equatorial start keeps a definite sign
+    val sb1 = if (sb1raw == 0.0) -tiny else sb1raw
+
+    // ---- series coefficients (Karney 2013 expansions in ε) ----
+    @inline def a1f(eps: Double): Double = {
+      val e2 = eps * eps
+      (1.0 + e2 * (1.0 / 4 + e2 * (1.0 / 64 + e2 / 256))) / (1.0 - eps)
+    }
+    def c1f(eps: Double): Array[Double] = {
+      val e2 = eps * eps
+      Array(
+        eps * (-1.0 / 2 + e2 * (3.0 / 16 - e2 / 32)),
+        e2 * (-1.0 / 16 + e2 * (1.0 / 32 - 9.0 * e2 / 2048)),
+        e2 * eps * (-1.0 / 48 + e2 * 3.0 / 256),
+        e2 * e2 * (-5.0 / 512 + e2 * 3.0 / 512),
+        e2 * e2 * eps * (-7.0 / 1280),
+        e2 * e2 * e2 * (-7.0 / 2048))
+    }
+    @inline def a3f(eps: Double): Double =
+      1.0 + eps * ((-1.0 + n) / 2 +
+        eps * ((-1.0 / 4 - n / 8 + 3.0 * n * n / 8) +
+          eps * ((-1.0 / 16 - 3.0 * n / 16 - n * n / 16) +
+            eps * (-3.0 / 64 - n / 32 + eps * (-3.0 / 128)))))
+    def c3f(eps: Double): Array[Double] = {
+      val e2 = eps * eps
+      Array(
+        eps * ((1.0 - n) / 4 +
+          eps * ((1.0 / 8 - n * n / 8) +
+            eps * ((3.0 + 3.0 * n - n * n) / 64 +
+              eps * ((5.0 / 128 + n / 64) + eps * 3.0 / 128)))),
+        e2 * ((1.0 / 16 - 3.0 * n / 32 + n * n / 32) +
+          eps * ((3.0 / 64 - n / 32 - 3.0 * n * n / 64) +
+            eps * ((3.0 / 128 + n / 128) + eps * 5.0 / 256))),
+        e2 * eps * ((5.0 / 192 - 3.0 * n / 64 + 5.0 * n * n / 192) +
+          eps * ((3.0 / 128 - 5.0 * n / 192) + eps * 7.0 / 512)),
+        e2 * e2 * ((7.0 / 512 - 7.0 * n / 256) + eps * 7.0 / 512),
+        e2 * e2 * eps * (21.0 / 2560))
+    }
+    @inline def sinSeries(c: Array[Double], sinSig: Double,
+                          cosSig: Double): Double = {
+      // Σ c(l−1)·sin(2lσ) by the double-angle recurrence
+      val s2 = 2.0 * sinSig * cosSig          // sin 2σ
+      val c2 = (cosSig - sinSig) * (cosSig + sinSig) // cos 2σ
+      var sk = s2; var ck = c2
+      var acc = 0.0
+      var l = 0
+      while (l < c.length) {
+        acc += c(l) * sk
+        val sn = sk * c2 + ck * s2
+        ck = ck * c2 - sk * s2
+        sk = sn
+        l += 1
+      }
+      acc
+    }
+
+    // ---- λ12, s12 and end azimuth for a trial departure azimuth ----
+    // (sα1 ≥ 0 on the canonical branch; cosα2 ≥ 0: first crossing of
+    // latitude β2 — the shortest-geodesic configuration, paper §4)
+    def eval(salp1: Double, calp1: Double)
+        : (Double, Double, Double, Double) = {
+      val salp0 = salp1 * cb1
+      val calp0 = math.sqrt(math.max(0.0,
+        1.0 - salp0 * salp0)) // cos α0 ≥ 0
+      val ssig1 = sb1; val csig1 = cb1 * calp1
+      val h1 = math.hypot(ssig1, csig1)
+      val sig1 = math.atan2(ssig1, csig1)
+      val omg1 = math.atan2(salp0 * ssig1, csig1)
+      val salp2 = math.min(1.0, salp0 / cb2)
+      val calp2 = math.sqrt(math.max(0.0,
+        calp1 * calp1 * cb1 * cb1 + (cb2 * cb2 - cb1 * cb1))) / cb2
+      val ssig2 = sb2; val csig2 = cb2 * calp2
+      val h2 = math.hypot(ssig2, csig2)
+      val sig2 = math.atan2(ssig2, csig2)
+      val omg2 = math.atan2(salp0 * ssig2, csig2)
+      val k2 = ep2 * calp0 * calp0
+      val sq = math.sqrt(1.0 + k2)
+      val eps = k2 / (2.0 * (1.0 + sq) + k2)
+      val c1 = c1f(eps)
+      val b1 = sinSeries(c1, ssig1 / h1, csig1 / h1)
+      val b2 = sinSeries(c1, ssig2 / h2, csig2 / h2)
+      val s12 = s.b * a1f(eps) * ((sig2 - sig1) + (b2 - b1))
+      val c3 = c3f(eps)
+      val i3 = a3f(eps) * ((sig2 - sig1) +
+        (sinSeries(c3, ssig2 / h2, csig2 / h2) -
+          sinSeries(c3, ssig1 / h1, csig1 / h1)))
+      val lam = (omg2 - omg1) - f * salp0 * i3
+      (lam, s12, salp2, calp2)
+    }
+
+    // meridional target: α1 = 0 solves it exactly (no bracket needed);
+    // through-pole meridians (λ12 = π) are NOT on this branch -> None
+    if (lam12 < 1e-12) {
+      val (_, s12, _, _) = eval(0.0, 1.0)
+      var (s1c, c1c) = (0.0, 1.0)
+      var (s2c, c2c) = (0.0, 1.0)
+      if (swapP) { val ts = s1c; val tc = c1c
+        s1c = s2c; c1c = c2c; s2c = ts; c2c = tc }
+      val sw = if (swapP) -1.0 else 1.0
+      val az1 = math.atan2(s1c * sw * lonSign, c1c * sw * latSign)
+      val az2 = math.atan2(s2c * sw * lonSign, c2c * sw * latSign)
+      return Some(Inverse(s12, math.toDegrees(az1), math.toDegrees(az2)))
+    }
+
+    // bracketed bisection on α1 ∈ [tiny, π − tiny]: λ12(α1) is monotone
+    // increasing on the canonical arrangement
+    def g(alp1: Double): Double =
+      eval(math.sin(alp1), math.cos(alp1))._1 - lam12
+    val lo0 = 1e-12
+    val hi0 = math.Pi - 1e-12
+    val gLo = g(lo0)
+    val gHi = g(hi0)
+    if (!(gLo <= 0.0 && gHi >= 0.0)) return None // astroid region etc.
+    var lo = lo0; var hi = hi0
+    var it = 0
+    while (it < 80) {
+      val mid = 0.5 * (lo + hi)
+      if (g(mid) <= 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    val alp1 = 0.5 * (lo + hi)
+    val (lamF, s12, salp2, calp2) = eval(math.sin(alp1), math.cos(alp1))
+    // reject a pseudo-root at a jump (defensive; monotone case converges)
+    if (math.abs(lamF - lam12) > 1e-9) return None
+    var s1c = math.sin(alp1); var c1c = math.cos(alp1)
+    var s2c = salp2; var c2c = calp2
+    if (swapP) { val ts = s1c; val tc = c1c
+      s1c = s2c; c1c = c2c; s2c = ts; c2c = tc }
+    val sw = if (swapP) -1.0 else 1.0
+    val az1 = math.atan2(s1c * sw * lonSign, c1c * sw * latSign)
+    val az2 = math.atan2(s2c * sw * lonSign, c2c * sw * latSign)
+    Some(Inverse(s12, math.toDegrees(az1), math.toDegrees(az2)))
   }
 
   /** Direct geodesic problem by RK4 integration of the exact Cartesian

@@ -115,11 +115,12 @@ class GeodesicsSpec extends AnyFunSuite {
     }
   }
 
-  test("karney routes non-converged Vincenty (outside the fixed box) to shooting") {
-    // scan just OUTSIDE the fixed near-antipodal gate (|lat1+lat2| >= 0.5
-    // or dl <= 179.5): wherever the 200-cap Vincenty iteration is still
-    // moving, karney must agree with the exact shooting solver instead of
-    // returning the silently non-converged value
+  test("karney stays exact where Vincenty stalls (near-antipodal scan)") {
+    // scan the band where the 200-cap Vincenty λ-iteration is still
+    // moving: karney (series where the principal-branch bracket holds,
+    // exact-ODE shooting past it) must agree with the independent
+    // shooting solution to sub-millimetre — never the silently
+    // non-converged Vincenty value (whose error there is metres)
     var nonConverged = 0
     val cases =
       (for (dlat <- Seq(0.5, 0.6, 0.8, 1.0, 1.5); dl <- Seq(179.6, 179.9, 180.0))
@@ -136,14 +137,84 @@ class GeodesicsSpec extends AnyFunSuite {
         nonConverged += 1
         val sh = Geodesics.shootingInverse(0.0, lat1, dl, lat2, wgs)
         assert(sh.isDefined, s"shooting failed at lat2=$lat2 dl=$dl")
-        assert(math.abs(k.distance - sh.get.distance) < 1e-6,
-          s"karney did not take the shooting answer at lat2=$lat2 dl=$dl")
+        assert(math.abs(k.distance - sh.get.distance) < 1e-3,
+          s"karney disagrees with shooting at lat2=$lat2 dl=$dl: " +
+            s"${k.distance} vs ${sh.get.distance}")
       } else {
-        assert(math.abs(k.distance - viaV.distance) < 1e-6)
+        // series vs converged Vincenty: both are µm-accurate strategies,
+        // agreement bound is their combined truncation error
+        assert(math.abs(k.distance - viaV.distance) < 1e-4,
+          s"karney vs vincenty at lat2=$lat2 dl=$dl")
       }
     }
     assert(nonConverged > 0,
       "fixture must include at least one non-converged Vincenty case")
+  }
+
+  test("karney series matches converged vincenty to micrometres incl. azimuths") {
+    // deterministic global scatter across all quadrants and lengths;
+    // where Vincenty converges both are exact-class strategies, so
+    // distance must agree to ~µm and azimuths to ~1e-6 deg
+    var checked = 0
+    for (i <- 0 until 400) {
+      val lon1 = ((i * 73) % 360) - 180.0 + 0.13
+      val lat1 = ((i * 31) % 170) - 85.0 + 0.21
+      val lon2 = ((i * 151) % 360) - 180.0 + 0.57
+      val lat2 = ((i * 97) % 170) - 85.0 + 0.43
+      val (v, converged) =
+        Geodesics.vincentyImpl(lon1, lat1, lon2, lat2, wgs, 200)
+      val ks = Geodesics.karneySeries(lon1, lat1, lon2, lat2, wgs)
+      if (converged && ks.isDefined) {
+        checked += 1
+        val k = ks.get
+        assert(math.abs(k.distance - v.distance) < 1e-4,
+          s"dist ($lon1,$lat1)-($lon2,$lat2): ${k.distance} vs ${v.distance}")
+        def angDiff(a: Double, b: Double): Double =
+          math.abs((((a - b) % 360) + 540) % 360 - 180)
+        assert(angDiff(k.azimuth, v.azimuth) < 1e-5,
+          s"az1 ($lon1,$lat1)-($lon2,$lat2): ${k.azimuth} vs ${v.azimuth}")
+        assert(angDiff(k.reverseAzimuth, v.reverseAzimuth) < 1e-5,
+          s"az2 ($lon1,$lat1)-($lon2,$lat2): " +
+            s"${k.reverseAzimuth} vs ${v.reverseAzimuth}")
+      }
+    }
+    assert(checked > 300, s"fixture degenerate: only $checked comparable pairs")
+  }
+
+  test("karney series hits the closed-form anchors and declines the astroid region") {
+    // quarter meridian (0,0)->(0,90): WGS84 constant to sub-µm
+    val m = Geodesics.karneySeries(0.0, 0.0, 0.0, 90.0, wgs)
+    assert(m.isDefined)
+    assert(math.abs(m.get.distance - 10001965.7293) < 1e-4, m.get.distance)
+    // quarter equator: the equator is the geodesic, s = a * pi/2
+    val e = Geodesics.karneySeries(0.0, 0.0, 90.0, 0.0, wgs)
+    assert(e.isDefined)
+    assert(math.abs(e.get.distance - wgs.a * math.Pi / 2.0) < 1e-4,
+      e.get.distance)
+    assert(math.abs(e.get.azimuth - 90.0) < 1e-9, e.get.azimuth)
+    // antipodal equatorial pair past (1-f)*pi: the equator is no longer
+    // the shortest path and the principal branch cannot answer -> None
+    // (callers go to the exact-ODE shooting solver)
+    assert(Geodesics.karneySeries(0.0, 0.0, 180.0, 0.0, wgs).isEmpty)
+    // in the near-antipodal band the contract is decline-or-exact: every
+    // answer the series does give must match the independent shooting
+    // solution to sub-millimetre (pseudo-roots at the λ jump are vetoed)
+    var answered = 0; var declined = 0
+    for (dl <- Seq(179.5, 179.7, 179.9, 180.0);
+         lat2 <- Seq(0.0, 0.1, 0.5, 2.0)) {
+      Geodesics.karneySeries(0.0, 0.0, dl, lat2, wgs) match {
+        case Some(k) =>
+          answered += 1
+          val sh = Geodesics.shootingInverse(0.0, 0.0, dl, lat2, wgs)
+          assert(sh.isDefined, s"shooting failed at dl=$dl lat2=$lat2")
+          assert(math.abs(k.distance - sh.get.distance) < 1e-3,
+            s"series pseudo-root at dl=$dl lat2=$lat2: " +
+              s"${k.distance} vs ${sh.get.distance}")
+        case None => declined += 1
+      }
+    }
+    assert(answered > 0 && declined > 0,
+      s"scan must exercise both branches: answered=$answered declined=$declined")
   }
 
   test("geographic bilinear weights sum to 1 and recover corners") {
