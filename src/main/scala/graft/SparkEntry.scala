@@ -1985,9 +1985,12 @@ object SparkEntry {
           sin(iC.cast("double") * w) * 3.0 +
             jC.cast("double") * 0.5 + (iC % 5).cast("double"))
           .otherwise(lit(Double.NaN)).as("v"))
+      // generous inner sweeps + few outers: on a 2x2-block 32x32 the
+      // per-super fixed cost (halo shuffle + checkpoint) dominates, so
+      // the cheap knob is more in-task CPU per super, not more supers
       val dist = graft.operators.FillTable.gaussSeidelTable(s, grid,
-        "x", "y", "v", blockSize = 16, haloWidth = 8, innerSweeps = 60,
-        maxSuperIterations = 120, epsilon = 1e-8, periodicX = true)
+        "x", "y", "v", blockSize = 16, haloWidth = 8, innerSweeps = 300,
+        maxSuperIterations = 40, epsilon = 1e-6, periodicX = true)
       val vals = Array.tabulate(nn * nn) { k =>
         val i = k / nn; val j = k % nn
         if (j == 0 || j == nn - 1) math.sin(i * w) * 3.0 + j * 0.5 + (i % 5)
