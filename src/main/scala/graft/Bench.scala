@@ -302,7 +302,12 @@ object Bench {
          |and the host-weather multiplier (r5 window ~15% slow) scales
          |that fixed cost directly. Steady-state warm cost is the
          |standalone number; the bench column for sub-2-s faces measures
-         |compile + setup, not the operator.
+         |compile + setup, not the operator. CONFIRMED in-bench by the
+         |kept r6 protocol draw: with no code change to either face,
+         |q_streaming_binning 7.92 -> 1.46 s and q_orbit_analytic
+         |1.28 -> 0.53 s (at/below their r4 levels) on a window whose
+         |cross-query median was 0.65x the r5 window — the r5 spikes
+         |were that window's cold-codegen fixed cost, not the plans.
          |""".stripMargin
     try {
       new java.io.File("/root/repo/BENCH").mkdirs()
