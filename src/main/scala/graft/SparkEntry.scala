@@ -2034,6 +2034,102 @@ object SparkEntry {
           round(col("value"), 6).as("value"),
           col("filled").cast("int").as("filled"))
     }),
+    "q_fill_loess_irregular" -> ((s, dir) => {
+      // IRREGULAR AXES on a distributed fill: the fills are index-space
+      // operators (the reference fill stencils never read axis
+      // spacing), so quadratic x/y axes must reproduce the
+      // q_fill_loess_biggrid values EXACTLY while round-tripping the
+      // non-uniform coordinates through the value->index broadcast
+      // maps. Coordinates are emitted unrounded: both engines build
+      // them with the same IEEE op order (left-assoc double products),
+      // so they match to the bit.
+      val nn = 48
+      val iL = floor(col("id") / nn)
+      val jL = col("id") % nn
+      val iC = iL.cast("double")
+      val jC = jL.cast("double")
+      val grid = s.range(nn.toLong * nn).select(
+        (lit(0.1) * iC * iC + iC).as("x"),
+        (lit(0.25) * jC * jC + jC).as("y"),
+        when((iL + jL) % 3 =!= 1,
+          ((iL * 7 + jL * 13) % 19).cast("double") + 0.25)
+          .otherwise(lit(Double.NaN)).as("v"))
+      graft.operators.FillTable.loessTable(s, grid, "x", "y", "v",
+          nxWin = 2, nyWin = 2, blockSize = 16, maxIterations = 5)
+        .select(col("x"), col("y"), round(col("value"), 6).as("value"),
+          col("filled").cast("int").as("filled"))
+    }),
+    "q_fill_loess_ref" -> ((s, dir) => {
+      // REFERENCE-DRIVER iterative loess at table scale
+      // (loessReferenceTable): first-guess every hole, then re-smooth
+      // the ORIGINAL holes against the previous full state. Holes come
+      // in adjacent PAIRS so the converged fixed point provably differs
+      // from the progressive loessTable answer (which excludes the
+      // still-NaN partner on its first pass): each pair solves the 2x2
+      // linear system v_A(W_A+w) - w*v_B = S_A over the tricube weights
+      // of its KNOWN window — a closed form the driver computes
+      // independently. Guess-independence (zonal_average vs zero) and
+      // exact kernel parity are spec-pinned; the oracle gates the fixed
+      // point (1e-9), hole count, and exact known-cell passthrough.
+      import s.implicits._
+      val nn = 48
+      val iC = floor(col("id") / nn)
+      val jC = col("id") % nn
+      val holeC = (iC % 12 === 6 || iC % 12 === 7) && jC % 12 === 6
+      val grid = s.range(nn.toLong * nn).select(
+        iC.cast("double").as("x"), jC.cast("double").as("y"),
+        when(!holeC, ((iC * 7 + jC * 13) % 19).cast("double") + 0.25)
+          .otherwise(lit(Double.NaN)).as("v"))
+      // contraction ratio per pass is ~(1+w)/(W+w+1) ~ 0.18, so 13-14
+      // passes put the iterate ~2e-9 from the fixed point — the 1e-6
+      // flag bound has three decades of margin at a third of the
+      // bench cost of running to fp convergence
+      val dist = graft.operators.FillTable.loessReferenceTable(s, grid,
+        "x", "y", "v", nxWin = 3, nyWin = 3, blockSize = 16,
+        maxIterations = 14, epsilon = 1e-8)
+      // driver-side truth: zv for known cells, pair fixed point for holes
+      def zv(i: Int, j: Int): Double = ((i * 7 + j * 13) % 19) + 0.25
+      def isHole(i: Int, j: Int): Boolean =
+        (i % 12 == 6 || i % 12 == 7) && j % 12 == 6
+      def tri(oi: Int, oj: Int): Double = {
+        val dx = oi / 3.0; val dy = oj / 3.0
+        val d = math.sqrt(dx * dx + dy * dy)
+        if (d > 1.0) 0.0 else { val t = 1.0 - d * d * d; t * t * t }
+      }
+      def sw(i: Int, j: Int): (Double, Double) = {
+        var sS = 0.0; var wS = 0.0
+        for (oi <- -3 to 3; oj <- -3 to 3)
+          if (!isHole(i + oi, j + oj)) {
+            val w = tri(oi, oj); sS += w * zv(i + oi, j + oj); wS += w
+          }
+        (sS, wS)
+      }
+      val wab = tri(1, 0)
+      val truth = for (i <- 0 until nn; j <- 0 until nn) yield {
+        val v =
+          if (!isHole(i, j)) zv(i, j)
+          else {
+            val ia = if (i % 12 == 6) i else i - 1 // pair anchor
+            val (sA, wA) = sw(ia, j)
+            val (sB, wB) = sw(ia + 1, j)
+            val den = (wA + wab) * (wB + wab) - wab * wab
+            if (i == ia) (sA * (wB + wab) + wab * sB) / den
+            else (sB * (wA + wab) + wab * sA) / den
+          }
+        (i, j, v, isHole(i, j))
+      }
+      val truthDf = truth.toDF("ci", "cj", "truth", "ishole")
+      dist.select(col("x").cast("int").as("ci"),
+          col("y").cast("int").as("cj"), col("value"), col("filled"))
+        .join(truthDf, Seq("ci", "cj"))
+        .agg(
+          (max(when(col("ishole"), abs(col("value") - col("truth"))))
+            <= 1e-6).as("within_tol"),
+          count(lit(1)).cast("int").as("n_cells"),
+          sum(col("filled").cast("int")).cast("int").as("n_filled"),
+          (sum(when(!col("ishole") && col("value") =!= col("truth"), 1)
+            .otherwise(0)) === 0).as("known_exact"))
+    }),
     "q_fill_multigrid" -> ((s, dir) => {
       // fill.multigrid on the same harmonic-plane fixture as gauss_seidel:
       // converged V-cycles reproduce the plane, center = 24 + n
@@ -2370,6 +2466,50 @@ object SparkEntry {
       "q_fill_gs_seam" ->
         """SELECT TRUE AS within_tol, 1024 AS n_cells,
           | 960 AS n_filled, TRUE AS all_finite"""
+          .stripMargin.replace("\n", " "),
+
+      // irregular-axis loess: identical index-space closed form, output
+      // keyed by the quadratic coordinates (CAST to DOUBLE is load-
+      // bearing: DuckDB's bare 0.1 is DECIMAL and would not match the
+      // engine's IEEE doubles)
+      "q_fill_loess_irregular" ->
+        """WITH cells AS (SELECT i, j,
+          |  CAST(0.1 AS DOUBLE) * i * i + i AS x,
+          |  CAST(0.25 AS DOUBLE) * j * j + j AS y,
+          |  CASE WHEN (i + j) % 3 <> 1
+          |   THEN CAST((i * 7 + j * 13) % 19 AS DOUBLE) + 0.25 END AS z
+          |  FROM range(0, 48) ti(i), range(0, 48) tj(j)),
+          | offs AS (SELECT oi, oj
+          |  FROM range(-2, 3) a(oi), range(-2, 3) b(oj)),
+          | stencil AS (SELECT c.i, c.j,
+          |   CASE WHEN c.i + o.oi < 0 THEN -(c.i + o.oi)
+          |    WHEN c.i + o.oi > 47 THEN 94 - (c.i + o.oi)
+          |    ELSE c.i + o.oi END AS wi,
+          |   CASE WHEN c.j + o.oj < 0 THEN -(c.j + o.oj)
+          |    WHEN c.j + o.oj > 47 THEN 94 - (c.j + o.oj)
+          |    ELSE c.j + o.oj END AS wj
+          |  FROM cells c CROSS JOIN offs o WHERE c.z IS NULL),
+          | contrib AS (SELECT s.i, s.j, n.z AS nz,
+          |   (s.wi - s.i) / 2.0 AS dx, (s.wj - s.j) / 2.0 AS dy
+          |  FROM stencil s JOIN cells n ON n.i = s.wi AND n.j = s.wj
+          |  WHERE n.z IS NOT NULL),
+          | wts AS (SELECT i, j, nz,
+          |  CASE WHEN sqrt(dx * dx + dy * dy) > 1.0 THEN 0.0
+          |   ELSE power(1.0 - power(sqrt(dx * dx + dy * dy), 3), 3)
+          |   END AS wt FROM contrib),
+          | fl AS (SELECT i, j, SUM(wt * nz) / SUM(wt) AS z
+          |  FROM wts GROUP BY i, j)
+          |SELECT c.x AS x, c.y AS y,
+          | round(COALESCE(c.z, f.z), 6) AS value,
+          | CAST(CASE WHEN c.z IS NULL THEN 1 ELSE 0 END AS INT) AS filled
+          |FROM cells c LEFT JOIN fl f ON f.i = c.i AND f.j = c.j"""
+          .stripMargin.replace("\n", " "),
+
+      // reference-driver loess: converged pair fixed points vs the
+      // driver-side closed form (tolerance flag), 48x48, 16 hole pairs
+      "q_fill_loess_ref" ->
+        """SELECT TRUE AS within_tol, 2304 AS n_cells,
+          | 32 AS n_filled, TRUE AS known_exact"""
           .stripMargin.replace("\n", " "),
 
       // periodic-x loess oracle: x window indexes wrap MODULO the axis

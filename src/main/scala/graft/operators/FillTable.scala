@@ -168,6 +168,62 @@ object FillTable {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Lattice coordinates -> integer cell indexes for ANY strictly
+    * ascending axes. The fills are pure index-space operators (the
+    * reference fill-module stencils never read axis spacing), so irregular
+    * axes need only the value->index mapping: regular axes keep the
+    * closed-form arithmetic (stays inside whole-stage codegen);
+    * irregular axes broadcast-join the O(axis-length) value->index map
+    * (exact double equality — the axis values were extracted from this
+    * very column by `axesOf`). Returns (ci, cj, z).
+    */
+  private def indexedCells(gridTable: DataFrame, xCol: String, yCol: String,
+                           valueCol: String, xAxis: graft.core.Axis,
+                           yAxis: graft.core.Axis): DataFrame = {
+    val spark = gridTable.sparkSession
+    def mapped(df: DataFrame, axis: graft.core.Axis, c: String,
+               idx: String): DataFrame =
+      if (axis.isRegular)
+        df.withColumn(idx,
+          round((col(c).cast("double") - lit(axis.front)) / lit(axis.step))
+            .cast("int"))
+      else {
+        val m = spark.createDataFrame(
+            axis.values.zipWithIndex.toSeq).toDF(c + "__v", idx)
+        df.join(broadcast(m), col(c).cast("double") === col(c + "__v"))
+          .drop(c + "__v")
+      }
+    mapped(mapped(gridTable.select(col(xCol), col(yCol),
+        col(valueCol).cast("double").as("z")), xAxis, xCol, "ci"),
+        yAxis, yCol, "cj")
+      .select(col("ci"), col("cj"), col("z"))
+  }
+
+  /** Inverse of [[indexedCells]] for the result: cell indexes back to
+    * the EXACT axis values (regular: closed form; irregular: broadcast
+    * index->value join). Emits (xCol, yCol, value, filled).
+    */
+  private def withCoords(state: DataFrame, xAxis: graft.core.Axis,
+                         yAxis: graft.core.Axis, xCol: String,
+                         yCol: String): DataFrame = {
+    val spark = state.sparkSession
+    def back(df: DataFrame, axis: graft.core.Axis, idx: String,
+             out: String): DataFrame =
+      if (axis.isRegular)
+        df.withColumn(out,
+          col(idx).cast("double") * axis.step + axis.front)
+      else {
+        val m = spark.createDataFrame(
+            axis.values.zipWithIndex.map(_.swap).toSeq)
+          .toDF(idx + "__i", out)
+        df.join(broadcast(m), col(idx) === col(idx + "__i"))
+          .drop(idx + "__i")
+      }
+    back(back(state, xAxis, "ci", xCol), yAxis, "cj", yCol)
+      .select(col(xCol), col(yCol), col("z").as("value"),
+        col("mask").as("filled"))
+  }
+
   /** Replicate each cell to every block whose (wx, wy)-wide overlap
     * region contains it (restricted additive Schwarz halo — corners
     * included so overlap cells can relax), plus the home copy.
@@ -223,9 +279,8 @@ object FillTable {
       "haloWidth must be in [1, blockSize)")
     import graft.sources.GridLoader
     val Seq(xAxis, yAxis) = GridLoader.axesOf(gridTable, Seq(xCol, yCol))
-    require(xAxis.isRegular && yAxis.isRegular && xAxis.front < xAxis.back &&
-      yAxis.front < yAxis.back,
-      "gaussSeidelTable requires regular ascending axes")
+    require(xAxis.size > 1 && yAxis.size > 1,
+      "gaussSeidelTable requires at least 2x2 axes")
     val nx = xAxis.size
     val ny = yAxis.size
     val b = blockSize
@@ -233,12 +288,7 @@ object FillTable {
     val sweeps = innerSweeps
     val perX = periodicX
 
-    val cells0 = gridTable.select(
-      round((col(xCol).cast("double") - lit(xAxis.front)) /
-        lit(xAxis.step)).cast("int").as("ci"),
-      round((col(yCol).cast("double") - lit(yAxis.front)) /
-        lit(yAxis.step)).cast("int").as("cj"),
-      col(valueCol).cast("double").as("z"))
+    val cells0 = indexedCells(gridTable, xCol, yCol, valueCol, xAxis, yAxis)
 
     // zonal-average first guess (reference fill/helpers.hpp:29-64): the
     // per-j-band mean of known values, 0 for empty bands
@@ -398,11 +448,7 @@ object FillTable {
     }
     lastSuperIterations = it
 
-    state.toDF()
-      .select(
-        (col("ci").cast("double") * xAxis.step + xAxis.front).as(xCol),
-        (col("cj").cast("double") * yAxis.step + yAxis.front).as(yCol),
-        col("z").as("value"), col("mask").as("filled"))
+    withCoords(state.toDF(), xAxis, yAxis, xCol, yCol)
   }
 
   /** Distributed `fill.loess` (reference `fill/loess.hpp` semantics —
@@ -428,9 +474,8 @@ object FillTable {
       "blockSize must exceed the window half-size")
     import graft.sources.GridLoader
     val Seq(xAxis, yAxis) = GridLoader.axesOf(gridTable, Seq(xCol, yCol))
-    require(xAxis.isRegular && yAxis.isRegular && xAxis.front < xAxis.back &&
-      yAxis.front < yAxis.back,
-      "loessTable requires regular ascending axes")
+    require(xAxis.size > 1 && yAxis.size > 1,
+      "loessTable requires at least 2x2 axes")
     val nx = xAxis.size
     val ny = yAxis.size
     val b = blockSize
@@ -438,15 +483,12 @@ object FillTable {
     val wy = nyWin
     val perX = periodicX
 
-    var state: Dataset[FillCell] = gridTable.select(
-        round((col(xCol).cast("double") - lit(xAxis.front)) /
-          lit(xAxis.step)).cast("int").as("ci"),
-        round((col(yCol).cast("double") - lit(yAxis.front)) /
-          lit(yAxis.step)).cast("int").as("cj"),
-        col(valueCol).cast("double").as("z"),
-        isnan(col(valueCol).cast("double")).as("mask"), lit(0.0).as("res"))
-      .as[FillCell]
-      .localCheckpoint()
+    var state: Dataset[FillCell] =
+      indexedCells(gridTable, xCol, yCol, valueCol, xAxis, yAxis)
+        .select(col("ci"), col("cj"), col("z"),
+          isnan(col("z")).as("mask"), lit(0.0).as("res"))
+        .as[FillCell]
+        .localCheckpoint()
 
     var it = 0
     var holes = 1L
@@ -505,10 +547,142 @@ object FillTable {
       it += 1
     }
 
-    state.toDF()
-      .select(
-        (col("ci").cast("double") * xAxis.step + xAxis.front).as(xCol),
-        (col("cj").cast("double") * yAxis.step + yAxis.front).as(yCol),
-        col("z").as("value"), col("mask").as("filled"))
+    withCoords(state.toDF(), xAxis, yAxis, xCol, yCol)
+  }
+
+  /** Iterations the last [[loessReferenceTable]] run took — test
+    * instrumentation mirroring the in-core driver's return count.
+    */
+  @volatile private[graft] var lastLoessRefIterations: Int = 0
+
+  /** Distributed REFERENCE-PARITY iterative loess (`fill/loess.hpp:
+    * 216-250` driver semantics, the table-scale twin of
+    * `core.Fill.loessReference`): every hole is first-guessed at once —
+    * "zonal_average" is the loess driver's GLOBAL mean of all defined
+    * values (`loess.hpp:141-152`), "zero" is 0 — then each pass
+    * re-smooths the ORIGINAL holes against the previous full (NaN-free)
+    * state, until max |change| < epsilon or maxIterations. Differs from
+    * the progressive [[loessTable]] (holes fill outward, no first-guess
+    * bias); single-pass (`maxIterations == 1`) mirrors the reference's
+    * raw-smoothing branch and simply delegates to [[loessTable]].
+    *
+    * Same distributed shape as [[loessTable]]: per pass, one halo
+    * shuffle of window-wide tile borders + an in-core tricube loop per
+    * tile (accumulation order identical to the in-core kernel), plus
+    * one tiny max-residual agg over the already-materialized state for
+    * the epsilon stop — per-pass cost is O(perimeter) shuffle, not
+    * area, and superseded checkpoints are freed eagerly. For isolated
+    * holes the fixed point is the self-excluded tricube mean S/W of the
+    * window's defined cells (update v' = (S + v)/(W + 1)), which the
+    * driver oracle checks in closed form.
+    */
+  def loessReferenceTable(spark: SparkSession, gridTable: DataFrame,
+                          xCol: String, yCol: String, valueCol: String,
+                          nxWin: Int = 3, nyWin: Int = 3,
+                          blockSize: Int = 256,
+                          firstGuess: String = "zonal_average",
+                          maxIterations: Int = 10, epsilon: Double = 1e-6,
+                          periodicX: Boolean = false): DataFrame = {
+    import spark.implicits._
+    if (maxIterations == 1)
+      return loessTable(spark, gridTable, xCol, yCol, valueCol, nxWin,
+        nyWin, blockSize, maxIterations = 1, periodicX = periodicX)
+    require(blockSize > math.max(nxWin, nyWin),
+      "blockSize must exceed the window half-size")
+    import graft.sources.GridLoader
+    val Seq(xAxis, yAxis) = GridLoader.axesOf(gridTable, Seq(xCol, yCol))
+    require(xAxis.size > 1 && yAxis.size > 1,
+      "loessReferenceTable requires at least 2x2 axes")
+    val nx = xAxis.size
+    val ny = yAxis.size
+    val b = blockSize
+    val wx = nxWin
+    val wy = nyWin
+    val perX = periodicX
+
+    val cells0 = indexedCells(gridTable, xCol, yCol, valueCol, xAxis,
+      yAxis)
+
+    val fillValue = firstGuess match {
+      case "zero" => 0.0
+      case "zonal_average" =>
+        // the loess driver's zonal average is GLOBAL (one scalar), so a
+        // single tiny agg job — not a per-band join like gauss_seidel's
+        val r = cells0.agg(
+          avg(when(!isnan(col("z")), col("z"))).as("m")).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      case other => throw new IllegalArgumentException(s"firstGuess $other")
+    }
+
+    var state: Dataset[FillCell] = cells0.select(col("ci"), col("cj"),
+        when(isnan(col("z")), lit(fillValue)).otherwise(col("z")).as("z"),
+        isnan(col("z")).as("mask"), lit(0.0).as("res"))
+      .as[FillCell]
+      .localCheckpoint()
+
+    var it = 0
+    var maxDiff = Double.MaxValue
+    while (it < maxIterations && maxDiff >= epsilon) {
+      val next = haloed(state, b, wx, wy, nx, ny, perX)
+        .groupByKey { case (bi, bj, _, _) =>
+          (bi.toLong << 32) | (bj & 0xFFFFFFFFL)
+        }
+        .flatMapGroups { (_, rows) =>
+          val cells = new java.util.HashMap[Long, java.lang.Double]()
+          val home = scala.collection.mutable.ArrayBuffer.empty[FillCell]
+          def key(i: Int, j: Int): Long = (i.toLong << 32) | (j & 0xFFFFFFFFL)
+          rows.foreach { case (_, _, c, isHalo) =>
+            cells.put(key(c.ci, c.cj), c.z)
+            if (!isHalo) home += c
+          }
+          def tricube(d: Double): Double =
+            if (d > 1.0) 0.0
+            else { val t = 1.0 - d * d * d; t * t * t }
+          val nxInv = 1.0 / wx
+          val nyInv = 1.0 / wy
+          home.iterator.map { c =>
+            // reference validity split: only ORIGINAL holes re-smooth;
+            // every neighbor (holes included) is defined after the
+            // first guess, so the whole window contributes
+            if (!c.mask) c
+            else {
+              var wSum = 0.0
+              var wvSum = 0.0
+              var oi = -wx
+              while (oi <= wx) {
+                val wi =
+                  if (perX) graft.core.GeoMath.floorMod(c.ci + oi, nx)
+                  else graft.core.GeoMath.reflectIndex(c.ci + oi, nx)
+                var oj = -wy
+                while (oj <= wy) {
+                  val wj = graft.core.GeoMath.reflectIndex(c.cj + oj, ny)
+                  val zi = cells.get(key(wi, wj))
+                  if (zi != null && !zi.isNaN) {
+                    val dx = (wi - c.ci).toDouble * nxInv
+                    val dy = (wj - c.cj).toDouble * nyInv
+                    val w = tricube(math.sqrt(dx * dx + dy * dy))
+                    wSum += w
+                    wvSum += w * zi.doubleValue()
+                  }
+                  oj += 1
+                }
+                oi += 1
+              }
+              if (wSum != 0.0) {
+                val v = wvSum / wSum
+                FillCell(c.ci, c.cj, v, c.mask, math.abs(v - c.z))
+              } else c
+            }
+          }
+        }
+        .localCheckpoint()
+      maxDiff = next.agg(max(col("res"))).head().getDouble(0)
+      releaseCheckpoint(state)
+      state = next
+      it += 1
+    }
+    lastLoessRefIterations = it
+
+    withCoords(state.toDF(), xAxis, yAxis, xCol, yCol)
   }
 }

@@ -190,6 +190,124 @@ class FillTableSpec extends AnyFunSuite {
     }
   }
 
+  test("loessReferenceTable ≡ in-core loessReference (first-guess driver)") {
+    // the reference's multi-iteration driver: global-mean first guess of
+    // every hole, then re-smoothing the ORIGINAL holes against the
+    // previous full state — the distributed pass mirrors the in-core
+    // kernel loop exactly; the only fp divergence is the distributed
+    // global-mean reduction order, so agreement is ~1e-12
+    def known(i: Int, j: Int): Boolean =
+      !(i >= 8 && i <= 23 && j >= 8 && j <= 23)
+    val vals = Array.tabulate(n * n) { k =>
+      val i = k / n; val j = k % n
+      if (known(i, j)) (i * 7 + j * 13) % 19 + 0.25 else Double.NaN
+    }
+    val iC = floor(col("id") / n)
+    val jC = col("id") % n
+    val gridDf = spark.range(n.toLong * n).select(
+      iC.cast("double").as("x"), jC.cast("double").as("y"),
+      when(!(iC >= 8 && iC <= 23 && jC >= 8 && jC <= 23),
+        ((iC * 7 + jC * 13) % 19).cast("double") + 0.25)
+        .otherwise(lit(Double.NaN)).as("v"))
+    for (per <- Seq(false, true); fg <- Seq("zonal_average", "zero")) {
+      val (core, coreIts) = graft.core.Fill.loessReference(vals.clone(),
+        n, n, 3, 3, firstGuess = fg, maxIterations = 8, epsilon = 1e-9,
+        periodicX = per)
+      val dist = FillTable.loessReferenceTable(spark, gridDf, "x", "y",
+          "v", nxWin = 3, nyWin = 3, blockSize = 8, firstGuess = fg,
+          maxIterations = 8, epsilon = 1e-9, periodicX = per)
+        .collect().map(r => (r.getDouble(0).toInt, r.getDouble(1).toInt) ->
+          r.getDouble(2)).toMap
+      var maxDiff = 0.0
+      for (i <- 0 until n; j <- 0 until n) {
+        val d = math.abs(dist((i, j)) - core(i * n + j))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff < 1e-9, s"periodicX=$per fg=$fg maxDiff $maxDiff")
+      assert(math.abs(FillTable.lastLoessRefIterations - coreIts) <= 1,
+        s"periodicX=$per fg=$fg its ${FillTable.lastLoessRefIterations} " +
+          s"vs $coreIts")
+    }
+    // maxIterations == 1 mirrors the reference's raw single-pass branch
+    val one = FillTable.loessReferenceTable(spark, gridDf, "x", "y", "v",
+        nxWin = 3, nyWin = 3, blockSize = 8, maxIterations = 1)
+      .collect().map(r => (r.getDouble(0).toInt, r.getDouble(1).toInt) ->
+        r.getDouble(2)).toMap
+    val corePass = graft.core.Fill.loess(vals.clone(), n, n, 3, 3,
+      "undefined")
+    for (i <- 0 until n; j <- 0 until n) {
+      val c = corePass(i * n + j)
+      val d = one((i, j))
+      assert(c.isNaN === d.isNaN, s"1-pass ($i,$j)")
+      if (!c.isNaN) assert(math.abs(c - d) < 1e-12, s"1-pass ($i,$j)")
+    }
+  }
+
+  test("irregular axes: fills are index-space, coordinates round-trip") {
+    // the fills never read axis spacing (reference fill/* stencils are
+    // index-space), so quadratic axes must (a) reproduce the regular-
+    // axis answers BIT-EXACTLY — same kernel, same loop order, axis
+    // values never enter the arithmetic — and (b) re-emit the exact
+    // input coordinates through the value->index broadcast round-trip
+    import spark.implicits._
+    val m = 24
+    def xs(i: Int): Double = 0.1 * i * i + i
+    def ys(j: Int): Double = 0.25 * j * j + j
+    val xIdx = (0 until m).map(i => xs(i) -> i).toMap
+    val yIdx = (0 until m).map(j => ys(j) -> j).toMap
+
+    // gauss-seidel on the harmonic plane: closed form survives
+    val plane = (for (i <- 0 until m; j <- 0 until m) yield {
+      val v = if (i == 0 || j == 0 || i == m - 1 || j == m - 1)
+        i + 2.0 * j else Double.NaN
+      (xs(i), ys(j), v)
+    }).toDF("x", "y", "v")
+    val gs = FillTable.gaussSeidelTable(spark, plane, "x", "y", "v",
+      blockSize = 8, haloWidth = 4, innerSweeps = 40,
+      maxSuperIterations = 80, epsilon = 1e-8).collect()
+    assert(gs.length === m * m)
+    gs.foreach { r =>
+      val i = xIdx.getOrElse(r.getDouble(0), -1)
+      val j = yIdx.getOrElse(r.getDouble(1), -1)
+      assert(i >= 0 && j >= 0,
+        s"coords not exact: ${r.getDouble(0)} ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - (i + 2.0 * j)) < 1e-4, s"($i,$j)")
+    }
+
+    // loess (progressive + reference driver) on a hole blob: the
+    // irregular run must equal the regular run bit for bit
+    def known(i: Int, j: Int): Boolean =
+      !(i >= 8 && i <= 15 && j >= 8 && j <= 15)
+    def zv(i: Int, j: Int): Double = (i * 7 + j * 13) % 19 + 0.25
+    def gridOf(fx: Int => Double, fy: Int => Double) =
+      (for (i <- 0 until m; j <- 0 until m)
+        yield (fx(i), fy(j), if (known(i, j)) zv(i, j) else Double.NaN))
+        .toDF("x", "y", "v")
+    def runBoth(ref: Boolean): (Map[(Int, Int), Double],
+                                Map[(Int, Int), Double]) = {
+      def run(fx: Int => Double, fy: Int => Double,
+              ix: Double => Int, iy: Double => Int) = {
+        val df =
+          if (ref) FillTable.loessReferenceTable(spark,
+            gridOf(fx, fy), "x", "y", "v", nxWin = 3, nyWin = 3,
+            blockSize = 8, maxIterations = 3, epsilon = 1e-12)
+          else FillTable.loessTable(spark, gridOf(fx, fy), "x", "y", "v",
+            nxWin = 3, nyWin = 3, blockSize = 8, maxIterations = 6)
+        df.collect().map(r => (ix(r.getDouble(0)), iy(r.getDouble(1))) ->
+          r.getDouble(2)).toMap
+      }
+      (run(_.toDouble, _.toDouble, _.toInt, _.toInt),
+        run(xs, ys, xIdx(_), yIdx(_)))
+    }
+    for (ref <- Seq(false, true)) {
+      val (reg, irr) = runBoth(ref)
+      assert(reg.keySet === irr.keySet)
+      for ((k, v) <- reg)
+        assert(java.lang.Double.compare(v, irr(k)) === 0,
+          s"ref=$ref $k: ${irr(k)} vs $v")
+    }
+  }
+
   test("parity with the in-core solver, non-periodic and periodic-x") {
     // non-separable boundary data -> no closed form; both solvers must
     // converge to the same discrete Laplace solution
