@@ -1935,8 +1935,12 @@ object SparkEntry {
         when(iC === 0 || jC === 0 || iC === nn - 1 || jC === nn - 1,
           iC.cast("double") + jC.cast("double") * 2.0)
           .otherwise(lit(Double.NaN)).as("v"))
+      // wide overlap + generous inner sweeps: per-super cost is FIXED
+      // (halo shuffle + checkpoint + residual agg), so the cheap knob
+      // at this lattice size is fewer supers via a 15-cell halo and
+      // near-converging each block per super
       graft.operators.FillTable.gaussSeidelTable(s, grid, "x", "y", "v",
-          blockSize = 16, haloWidth = 8, innerSweeps = 60,
+          blockSize = 16, haloWidth = 15, innerSweeps = 1000,
           maxSuperIterations = 60, epsilon = 1e-6)
         .select(col("x").cast("int").as("ci"),
           col("y").cast("int").as("cj"),
@@ -1989,7 +1993,7 @@ object SparkEntry {
       // per-super fixed cost (halo shuffle + checkpoint) dominates, so
       // the cheap knob is more in-task CPU per super, not more supers
       val dist = graft.operators.FillTable.gaussSeidelTable(s, grid,
-        "x", "y", "v", blockSize = 16, haloWidth = 8, innerSweeps = 300,
+        "x", "y", "v", blockSize = 16, haloWidth = 15, innerSweeps = 1500,
         maxSuperIterations = 40, epsilon = 1e-6, periodicX = true)
       val vals = Array.tabulate(nn * nn) { k =>
         val i = k / nn; val j = k % nn
