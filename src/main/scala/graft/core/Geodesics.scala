@@ -419,8 +419,12 @@ object Geodesics {
       return Some(Inverse(s12, math.toDegrees(az1), math.toDegrees(az2)))
     }
 
-    // bracketed bisection on α1 ∈ [tiny, π − tiny]: λ12(α1) is monotone
-    // increasing on the canonical arrangement
+    // bracketed root solve on α1 ∈ [tiny, π − tiny]: λ12(α1) is
+    // monotone increasing on the canonical arrangement. Illinois
+    // false position keeps the bisection's bracket guarantee but
+    // converges superlinearly (~10 evals instead of 80 — this runs
+    // per row as a geodesic strategy, so evals are the hot path);
+    // any degenerate step falls back to the midpoint.
     def g(alp1: Double): Double =
       eval(math.sin(alp1), math.cos(alp1))._1 - lam12
     val lo0 = 1e-12
@@ -429,13 +433,30 @@ object Geodesics {
     val gHi = g(hi0)
     if (!(gLo <= 0.0 && gHi >= 0.0)) return None // astroid region etc.
     var lo = lo0; var hi = hi0
+    var gL = gLo; var gH = gHi
+    var alp1 = 0.5 * (lo + hi)
+    var side = 0 // +1: last kept hi side, -1: last kept lo side
     var it = 0
-    while (it < 80) {
-      val mid = 0.5 * (lo + hi)
-      if (g(mid) <= 0.0) lo = mid else hi = mid
+    var done = false
+    while (it < 80 && !done) {
+      val den = gH - gL
+      var mid =
+        if (den != 0.0) (lo * gH - hi * gL) / den else 0.5 * (lo + hi)
+      if (!(mid > lo && mid < hi)) mid = 0.5 * (lo + hi)
+      val gm = g(mid)
+      alp1 = mid
+      if (math.abs(gm) < 1e-15 || hi - lo < 1e-15) done = true
+      else if (gm <= 0.0) {
+        lo = mid; gL = gm
+        if (side == -1) gH *= 0.5 // Illinois: de-stale the kept side
+        side = -1
+      } else {
+        hi = mid; gH = gm
+        if (side == 1) gL *= 0.5
+        side = 1
+      }
       it += 1
     }
-    val alp1 = 0.5 * (lo + hi)
     val (lamF, s12, salp2, calp2) = eval(math.sin(alp1), math.cos(alp1))
     // reject a pseudo-root at a jump (defensive; monotone case converges)
     if (math.abs(lamF - lam12) > 1e-9) return None
