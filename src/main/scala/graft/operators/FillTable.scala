@@ -259,6 +259,113 @@ object FillTable {
     }
   }
 
+  /** One dense loess smoothing pass over haloed tiles — the shared
+    * kernel of [[loessTable]] (progressive mode: smooth cells whose
+    * CURRENT value is NaN against the defined neighbors) and
+    * [[loessReferenceTable]] (reference-driver mode: smooth the
+    * ORIGINAL holes against the previous full state, residual =
+    * |change|). The tile + halo window is a flat array (periodic wrap
+    * duplicates occupy every slot they map to), so the per-cell window
+    * loop — identical accumulation order to `core.Fill.loess`,
+    * reference frame_index mapping, tricube of the MAPPED index
+    * difference — reads neighbors by index arithmetic instead of boxed
+    * hash lookups. Per-task memory stays O((blockSize + 2*window)^2).
+    */
+  private def loessPass(state: Dataset[FillCell], b: Int, wx: Int,
+                        wy: Int, nx: Int, ny: Int, perX: Boolean,
+                        referenceMode: Boolean): Dataset[FillCell] = {
+    import state.sparkSession.implicits._
+    haloed(state, b, wx, wy, nx, ny, perX)
+      .groupByKey { case (bi, bj, _, _) =>
+        (bi.toLong << 32) | (bj & 0xFFFFFFFFL)
+      }
+      .flatMapGroups { (gk, rows) =>
+        val bi = (gk >> 32).toInt
+        val bj = gk.toInt
+        val xo = bi * b - wx
+        val yo = bj * b - wy
+        val wxw = b + 2 * wx
+        val wyw = b + 2 * wy
+        val arr = Array.fill(wxw * wyw)(Double.NaN)
+        val home = scala.collection.mutable.ArrayBuffer.empty[FillCell]
+        rows.foreach { case (_, _, c, isHalo) =>
+          val ly = c.cj - yo
+          if (ly >= 0 && ly < wyw) {
+            val lx = c.ci - xo
+            if (lx >= 0 && lx < wxw) arr(lx * wyw + ly) = c.z
+            if (perX) {
+              val l2 = lx - nx
+              if (l2 >= 0 && l2 < wxw) arr(l2 * wyw + ly) = c.z
+              val l3 = lx + nx
+              if (l3 >= 0 && l3 < wxw) arr(l3 * wyw + ly) = c.z
+            }
+          }
+          if (!isHalo) home += c
+        }
+        @inline def tricube(d: Double): Double =
+          if (d > 1.0) 0.0
+          else { val t = 1.0 - d * d * d; t * t * t }
+        val nxInv = 1.0 / wx
+        val nyInv = 1.0 / wy
+        // tricube-weighted window mean at a cell, NaN when the window
+        // holds no defined neighbor (the caller keeps the cell as-is)
+        def windowAt(ci: Int, cj: Int): Double = {
+          var wSum = 0.0
+          var wvSum = 0.0
+          var oi = -wx
+          while (oi <= wx) {
+            val wi =
+              if (perX) graft.core.GeoMath.floorMod(ci + oi, nx)
+              else graft.core.GeoMath.reflectIndex(ci + oi, nx)
+            var lx = wi - xo
+            if (lx < 0) lx += nx
+            else if (lx >= wxw) lx -= nx
+            if (lx >= 0 && lx < wxw) {
+              val dx = (wi - ci).toDouble * nxInv
+              var oj = -wy
+              while (oj <= wy) {
+                val wj = graft.core.GeoMath.reflectIndex(cj + oj, ny)
+                val ly = wj - yo
+                if (ly >= 0 && ly < wyw) {
+                  val zi = arr(lx * wyw + ly)
+                  if (!zi.isNaN) {
+                    val dy = (wj - cj).toDouble * nyInv
+                    val w = tricube(math.sqrt(dx * dx + dy * dy))
+                    wSum += w
+                    wvSum += w * zi
+                  }
+                }
+                oj += 1
+              }
+            }
+            oi += 1
+          }
+          if (wSum != 0.0) wvSum / wSum else Double.NaN
+        }
+        if (referenceMode)
+          // reference validity split: only ORIGINAL holes re-smooth;
+          // every neighbor (holes included) is defined after the first
+          // guess, so the whole window contributes
+          home.iterator.map { c =>
+            if (!c.mask) c
+            else {
+              val v = windowAt(c.ci, c.cj)
+              if (!v.isNaN) FillCell(c.ci, c.cj, v, c.mask,
+                math.abs(v - c.z))
+              else c
+            }
+          }
+        else
+          home.iterator.map { c =>
+            if (!c.z.isNaN) c
+            else {
+              val v = windowAt(c.ci, c.cj)
+              if (!v.isNaN) FillCell(c.ci, c.cj, v, c.mask, 0.0) else c
+            }
+          }
+      }
+  }
+
   /** gridTable: (xCol, yCol, valueCol) rows of a REGULAR complete
     * lattice, NaN (or absent — absent rows are holes too only if the
     * lattice is dense in the table; absent rows are simply not filled)
@@ -571,53 +678,8 @@ object FillTable {
     var it = 0
     var holes = 1L
     while (it < maxIterations && holes > 0) {
-      val next = haloed(state, b, wx, wy, nx, ny, perX)
-        .groupByKey { case (bi, bj, _, _) =>
-          (bi.toLong << 32) | (bj & 0xFFFFFFFFL)
-        }
-        .flatMapGroups { (_, rows) =>
-          val cells = new java.util.HashMap[Long, java.lang.Double]()
-          val home = scala.collection.mutable.ArrayBuffer.empty[FillCell]
-          def key(i: Int, j: Int): Long = (i.toLong << 32) | (j & 0xFFFFFFFFL)
-          rows.foreach { case (_, _, c, isHalo) =>
-            cells.put(key(c.ci, c.cj), c.z)
-            if (!isHalo) home += c
-          }
-          def tricube(d: Double): Double =
-            if (d > 1.0) 0.0
-            else { val t = 1.0 - d * d * d; t * t * t }
-          val nxInv = 1.0 / wx
-          val nyInv = 1.0 / wy
-          home.iterator.map { c =>
-            if (!c.z.isNaN) c
-            else {
-              var wSum = 0.0
-              var wvSum = 0.0
-              var oi = -wx
-              while (oi <= wx) {
-                val wi =
-                  if (perX) graft.core.GeoMath.floorMod(c.ci + oi, nx)
-                  else graft.core.GeoMath.reflectIndex(c.ci + oi, nx)
-                var oj = -wy
-                while (oj <= wy) {
-                  val wj = graft.core.GeoMath.reflectIndex(c.cj + oj, ny)
-                  val zi = cells.get(key(wi, wj))
-                  if (zi != null && !zi.isNaN) {
-                    val dx = (wi - c.ci).toDouble * nxInv
-                    val dy = (wj - c.cj).toDouble * nyInv
-                    val w = tricube(math.sqrt(dx * dx + dy * dy))
-                    wSum += w
-                    wvSum += w * zi.doubleValue()
-                  }
-                  oj += 1
-                }
-                oi += 1
-              }
-              if (wSum != 0.0) FillCell(c.ci, c.cj, wvSum / wSum, c.mask, 0.0)
-              else c
-            }
-          }
-        }
+      val next = loessPass(state, b, wx, wy, nx, ny, perX,
+          referenceMode = false)
         .localCheckpoint()
       holes = next.filter(r => r.z.isNaN).count()
       releaseCheckpoint(state)
@@ -701,58 +763,8 @@ object FillTable {
     var it = 0
     var maxDiff = Double.MaxValue
     while (it < maxIterations && maxDiff >= epsilon) {
-      val next = haloed(state, b, wx, wy, nx, ny, perX)
-        .groupByKey { case (bi, bj, _, _) =>
-          (bi.toLong << 32) | (bj & 0xFFFFFFFFL)
-        }
-        .flatMapGroups { (_, rows) =>
-          val cells = new java.util.HashMap[Long, java.lang.Double]()
-          val home = scala.collection.mutable.ArrayBuffer.empty[FillCell]
-          def key(i: Int, j: Int): Long = (i.toLong << 32) | (j & 0xFFFFFFFFL)
-          rows.foreach { case (_, _, c, isHalo) =>
-            cells.put(key(c.ci, c.cj), c.z)
-            if (!isHalo) home += c
-          }
-          def tricube(d: Double): Double =
-            if (d > 1.0) 0.0
-            else { val t = 1.0 - d * d * d; t * t * t }
-          val nxInv = 1.0 / wx
-          val nyInv = 1.0 / wy
-          home.iterator.map { c =>
-            // reference validity split: only ORIGINAL holes re-smooth;
-            // every neighbor (holes included) is defined after the
-            // first guess, so the whole window contributes
-            if (!c.mask) c
-            else {
-              var wSum = 0.0
-              var wvSum = 0.0
-              var oi = -wx
-              while (oi <= wx) {
-                val wi =
-                  if (perX) graft.core.GeoMath.floorMod(c.ci + oi, nx)
-                  else graft.core.GeoMath.reflectIndex(c.ci + oi, nx)
-                var oj = -wy
-                while (oj <= wy) {
-                  val wj = graft.core.GeoMath.reflectIndex(c.cj + oj, ny)
-                  val zi = cells.get(key(wi, wj))
-                  if (zi != null && !zi.isNaN) {
-                    val dx = (wi - c.ci).toDouble * nxInv
-                    val dy = (wj - c.cj).toDouble * nyInv
-                    val w = tricube(math.sqrt(dx * dx + dy * dy))
-                    wSum += w
-                    wvSum += w * zi.doubleValue()
-                  }
-                  oj += 1
-                }
-                oi += 1
-              }
-              if (wSum != 0.0) {
-                val v = wvSum / wSum
-                FillCell(c.ci, c.cj, v, c.mask, math.abs(v - c.z))
-              } else c
-            }
-          }
-        }
+      val next = loessPass(state, b, wx, wy, nx, ny, perX,
+          referenceMode = true)
         .localCheckpoint()
       maxDiff = next.agg(max(col("res"))).head().getDouble(0)
       releaseCheckpoint(state)
