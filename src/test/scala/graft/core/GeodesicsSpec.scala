@@ -192,6 +192,17 @@ class GeodesicsSpec extends AnyFunSuite {
     assert(math.abs(e.get.distance - wgs.a * math.Pi / 2.0) < 1e-4,
       e.get.distance)
     assert(math.abs(e.get.azimuth - 90.0) < 1e-9, e.get.azimuth)
+    // pole endpoints: the canonical arrangement puts the pole at phi1,
+    // cos(beta) stays tiny-but-nonzero, and the branch remains exact —
+    // including pole-to-pole (the full meridian)
+    for ((x1, y1, x2, y2) <- Seq((10.0, 20.0, 50.0, 90.0),
+        (0.0, -90.0, 0.0, 90.0), (30.0, -88.0, 150.0, 89.5))) {
+      val (v, conv) = Geodesics.vincentyImpl(x1, y1, x2, y2, wgs, 200)
+      val ks = Geodesics.karneySeries(x1, y1, x2, y2, wgs)
+      assert(conv && ks.isDefined, s"pole case ($x1,$y1)-($x2,$y2)")
+      assert(math.abs(ks.get.distance - v.distance) < 1e-4,
+        s"pole case ($x1,$y1)-($x2,$y2): ${ks.get.distance} vs ${v.distance}")
+    }
     // antipodal equatorial pair past (1-f)*pi: the equator is no longer
     // the shortest path and the principal branch cannot answer -> None
     // (callers go to the exact-ODE shooting solver)
