@@ -9,11 +9,13 @@ package graft.core
   *  - andoyer: Andoyer-Lambert first-order (in flattening) closed form.
   *  - thomas: Thomas (1965/1970) second-order closed form.
   *  - vincenty: Vincenty (1975) iterative inverse.
-  *  - karney: robust wrapper — Vincenty iteration with a raised cap, and
-  *    the near-antipodal region (where plain Vincenty stalls) answered by
-  *    a reduced-latitude great-circle bound. Sub-mm agreement with
-  *    vincenty away from antipodes; documented approximation inside the
-  *    ~0.05 deg antipodal neighborhood.
+  *  - karney: the Karney (2013) series inverse on the principal branch
+  *    (auxiliary-sphere ε-series, Illinois bracket on the departure
+  *    azimuth), with the narrow near-antipodal ambiguity region answered
+  *    by exact-ODE Newton shooting and capped Vincenty as the last
+  *    resort. µm-class agreement with converged Vincenty everywhere the
+  *    λ iteration converges; sub-mm vs the shooting solution in the
+  *    antipodal band.
   *
   * Plus spheroid area primitives: the EXACT ellipsoidal area of a
   * lon/lat-aligned rectangle (the kernel behind geographic linear-binning
@@ -314,9 +316,10 @@ object Geodesics {
         return Some(Inverse(s.a * lam12, az, az))
       } else return None // equator no longer shortest: astroid territory
     }
-    // resolve the equatorial σ ambiguity like the published library's
-    // "tiny" trick: an exactly-equatorial start keeps a definite sign
-    val sb1 = if (sb1raw == 0.0) -tiny else sb1raw
+    // past this point sb1raw != 0: an exactly-equatorial phi1 forces an
+    // exactly-equatorial phi2 on the canonical arrangement, which the
+    // closed-form branch above always returns from
+    val sb1 = sb1raw
 
     // ---- series coefficients (Karney 2013 expansions in ε) ----
     @inline def a1f(eps: Double): Double = {
@@ -425,8 +428,12 @@ object Geodesics {
     // converges superlinearly (~10 evals instead of 80 — this runs
     // per row as a geodesic strategy, so evals are the hot path);
     // any degenerate step falls back to the midpoint.
-    def g(alp1: Double): Double =
-      eval(math.sin(alp1), math.cos(alp1))._1 - lam12
+    var lastEval: (Double, Double, Double, Double) = null
+    def g(alp1: Double): Double = {
+      val e = eval(math.sin(alp1), math.cos(alp1))
+      lastEval = e
+      e._1 - lam12
+    }
     val lo0 = 1e-12
     val hi0 = math.Pi - 1e-12
     val gLo = g(lo0)
@@ -457,7 +464,9 @@ object Geodesics {
       }
       it += 1
     }
-    val (lamF, s12, salp2, calp2) = eval(math.sin(alp1), math.cos(alp1))
+    // alp1 is always the argument of the LAST g() call, so the solved
+    // eval tuple is already in hand — no extra series evaluation
+    val (lamF, s12, salp2, calp2) = lastEval
     // reject a pseudo-root at a jump (defensive; monotone case converges)
     if (math.abs(lamF - lam12) > 1e-9) return None
     var s1c = math.sin(alp1); var c1c = math.cos(alp1)

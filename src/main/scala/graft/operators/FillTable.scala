@@ -240,22 +240,26 @@ object FillTable {
       val bj = c.cj / b
       val nbx = (nx + b - 1) / b
       val nby = (ny + b - 1) / b
+      // home target FIRST: with periodic x and few blocks per row,
+      // di = -1 and di = +1 can wrap to the SAME target block (nbx <= 2
+      // with a wide halo), so targets are deduped per cell — and the
+      // home copy must win the dedupe, or a block could lose one of its
+      // own cells to a halo-flagged duplicate
       var dbis: List[Int] = List(0)
-      if (c.ci % b < wx && (bi > 0 || perX)) dbis ::= -1
       if ((c.ci % b >= b - wx || (perX && c.ci >= nx - wx)) &&
-        (bi < nbx - 1 || perX)) dbis ::= 1
+        (bi < nbx - 1 || perX)) dbis = dbis :+ 1
+      if (c.ci % b < wx && (bi > 0 || perX)) dbis = dbis :+ -1
       var dbjs: List[Int] = List(0)
-      if (c.cj % b < wy && bj > 0) dbjs ::= -1
-      if (c.cj % b >= b - wy && bj < nby - 1) dbjs ::= 1
+      if (c.cj % b >= b - wy && bj < nby - 1) dbjs = dbjs :+ 1
+      if (c.cj % b < wy && bj > 0) dbjs = dbjs :+ -1
+      val seen = new scala.collection.mutable.HashSet[Long]
       for {
         di <- dbis.iterator
         dj <- dbjs.iterator
-      } yield {
-        val tbi =
-          if (perX) (bi + di + nbx) % nbx
-          else bi + di
-        (tbi, bj + dj, c, di != 0 || dj != 0)
-      }
+        tbi = if (perX) (bi + di + nbx) % nbx else bi + di
+        tbj = bj + dj
+        if seen.add((tbi.toLong << 32) | (tbj & 0xFFFFFFFFL))
+      } yield (tbi, tbj, c, di != 0 || dj != 0)
     }
   }
 
@@ -724,9 +728,11 @@ object FillTable {
                           maxIterations: Int = 10, epsilon: Double = 1e-6,
                           periodicX: Boolean = false): DataFrame = {
     import spark.implicits._
-    if (maxIterations == 1)
+    if (maxIterations == 1) {
+      lastLoessRefIterations = 1 // mirror the in-core driver's count
       return loessTable(spark, gridTable, xCol, yCol, valueCol, nxWin,
         nyWin, blockSize, maxIterations = 1, periodicX = periodicX)
+    }
     require(blockSize > math.max(nxWin, nyWin),
       "blockSize must exceed the window half-size")
     import graft.sources.GridLoader
