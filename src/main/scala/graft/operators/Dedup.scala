@@ -82,22 +82,30 @@ object Dedup {
 
   /** One xxhash64 per shingle — materialize this ONCE (its own projected
     * column) and feed [[minhashSignatureFromHashes]], so the k
-    * permutations don't re-inline the string hashing.
+    * permutations don't re-inline the string hashing. Fused codegen
+    * kernel (VecKernels.hashStrings) — same xxhash64(seed 42) per
+    * element as the `transform(sh, s => xxhash64(s))` chain it replaces.
     */
-  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+  def shingleHashes(sh: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.HashStringArray(
+      ColumnBridge.expression(sh)))
+  }
 
   /** Signature from the materialized hash array. Permutation family:
     * rotate-xor bijections (overflow-free under ANSI mode — wraparound
-    * multiply would throw in Spark 4).
+    * multiply would throw in Spark 4). One fused loop over (k × hashes)
+    * instead of k `array_min(transform(...))` interpreted chains; the
+    * rotation/xor constants and min semantics are unchanged (empty
+    * hash array -> all-null slots, as array_min(empty) is null).
     */
-  def minhashSignatureFromHashes(hashes: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      val r = 1 + (mix(2L * i).toInt & 62) // rotation 1..63
-      val b = mix(2L * i + 1)
-      array_min(transform(hashes, h =>
-        shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
-          .bitwiseXOR(lit(b))))
-    }: _*)
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rots = Array.tabulate(k)(i => 1 + (mix(2L * i).toInt & 62))
+    val xors = Array.tabulate(k)(i => mix(2L * i + 1))
+    ColumnBridge.column(graft.functions.MinhashFromHashes(
+      ColumnBridge.expression(hashes), rots, xors))
+  }
 
   def minhashSignatureFromShingles(sh: Column, k: Int): Column =
     minhashSignatureFromHashes(shingleHashes(sh), k)

@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *    stays sub-quadratic.
   */
 object Similarity {
+  import org.apache.spark.sql.graft.ColumnBridge
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
@@ -30,8 +31,13 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
+  /** Fused codegen kernel — bit-identical to
+    * `dot(a, b) / (norm(a) * norm(b))` (see VecKernels contract), one
+    * loop instead of six interpreted higher-order passes per pair.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Exact top-k cosine neighbors for every query vector.
     * `items` (id, embedding), `queries` (qid, embedding).
@@ -43,8 +49,7 @@ object Similarity {
     val joined = queries.select(col("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(items.select(col("id"), col("embedding").as("ie"))))
       .select(col("qid"), col("id"),
-        cosine(col("qe").cast("array<double>"),
-          col("ie").cast("array<double>")).as("cosine"))
+        cosine(col("qe"), col("ie")).as("cosine"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("id").asc)
     joined.withColumn("rank", row_number().over(w))
@@ -74,15 +79,15 @@ object Similarity {
     */
   def lshBucket(embedding: Column, planes: Int, dims: Int,
                 seed: Long = 42L): Column = {
+    // flattened constant matrix rides as a codegen reference object; the
+    // per-row work is ONE fused loop (bit-identical to the per-plane
+    // zip_with/aggregate left folds it replaces) instead of `planes`
+    // interpreted HOF chains with a dims-element literal array each
     val m = planeMatrix(planes, dims, seed)
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(embedding.cast("array<double>"), typedLit(m(p).toSeq),
-          (x, h) => x * h),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
+    val flat = new Array[Double](planes * dims)
+    for (p <- 0 until planes; d <- 0 until dims) flat(p * dims + d) = m(p)(d)
+    ColumnBridge.column(graft.functions.LshBucket(
+      ColumnBridge.expression(embedding), planes, dims, flat))
   }
 
   private def dimsOf(df: DataFrame): Int =
@@ -146,8 +151,7 @@ object Similarity {
             "qid")
           .join(items.select(col("id"), col("embedding").as("ie")), "id")
           .select(col("qid"), col("id"),
-            cosine(col("qe").cast("array<double>"),
-              col("ie").cast("array<double>")).as("cosine"))
+            cosine(col("qe"), col("ie")).as("cosine"))
       } else {
         val candidates = bi.join(bq, Seq("tbl", "bucket"))
           .select("qid", "id").distinct()
@@ -155,8 +159,7 @@ object Similarity {
           .join(queries.select(col("qid"), col("embedding").as("qe")), "qid")
           .join(items.select(col("id"), col("embedding").as("ie")), "id")
           .select(col("qid"), col("id"),
-            cosine(col("qe").cast("array<double>"),
-              col("ie").cast("array<double>")).as("cosine"))
+            cosine(col("qe"), col("ie")).as("cosine"))
       }
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("id").asc)
@@ -198,8 +201,7 @@ object Similarity {
       .join(items.select(col("id").as("id_b"), col("embedding").as("eb")),
         "id_b")
       .select(col("id_a"), col("id_b"),
-        cosine(col("ea").cast("array<double>"),
-          col("eb").cast("array<double>")).as("cosine"))
+        cosine(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
   }
