@@ -53,6 +53,78 @@ object FillTable {
   final case class FillCell(ci: Int, cj: Int, z: Double, mask: Boolean,
                             res: Double)
 
+  /** Max accumulator: folds the per-super residual (`max(res)`) into the
+    * state-materialization job itself, replacing the separate agg job per
+    * super-iteration (guide §1/§2: fewer driver round-trips per serial
+    * step). Retry-safe by idempotence: res values are deterministic and
+    * max is unaffected by double-merged task updates.
+    */
+  private final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Double, Double] {
+    private var m = 0.0
+    override def isZero: Boolean = m == 0.0
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c.m = m; c
+    }
+    override def reset(): Unit = m = 0.0
+    override def add(v: Double): Unit = if (v > m) m = v
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Double, Double]): Unit =
+      if (o.value > m) m = o.value
+    override def value: Double = m
+  }
+
+  /** Long-add accumulator used for the loess hole count (replaces the
+    * per-pass `filter(isNaN).count()` job). A resubmitted task can
+    * overcount; the count only gates `holes > 0`, and an extra pass over
+    * a hole-free state is the identity, so results are unchanged.
+    */
+  private final class CountAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var n = 0L
+    override def isZero: Boolean = n == 0L
+    override def copy(): CountAccumulator = {
+      val c = new CountAccumulator; c.n = n; c
+    }
+    override def reset(): Unit = n = 0L
+    override def add(v: Long): Unit = n += v
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      n += o.value
+    override def value: Long = n
+  }
+
+  /** Per-block (sum z, cell count, hasKnown) gathered DURING the
+    * relaxation job — replaces the separate groupBy+collect restriction
+    * job per super-iteration whenever the coarse level runs at fine-block
+    * resolution (sb == 1), where each block is exactly one flatMapGroups
+    * group. PUT semantics keyed by block id: a block's stats are written
+    * whole by its one owning task with deterministic values, so stage
+    * retries overwrite with identical entries (idempotent), never
+    * double-add. Bounded by [[CoarseDriverGate]] entries — the same
+    * driver budget as the collect it replaces.
+    */
+  private final class BlockStatsAccumulator
+      extends org.apache.spark.util.AccumulatorV2[
+        (Long, Double, Long, Int),
+        scala.collection.mutable.HashMap[Long, (Double, Long, Int)]] {
+    private val m =
+      scala.collection.mutable.HashMap.empty[Long, (Double, Long, Int)]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): BlockStatsAccumulator = {
+      val c = new BlockStatsAccumulator; c.m ++= m; c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Long, Double, Long, Int)): Unit =
+      m.put(v._1, (v._2, v._3, v._4))
+    override def merge(o: org.apache.spark.util.AccumulatorV2[
+        (Long, Double, Long, Int),
+        scala.collection.mutable.HashMap[Long, (Double, Long, Int)]])
+        : Unit = m ++= o.value
+    override def value
+        : scala.collection.mutable.HashMap[Long, (Double, Long, Int)] = m
+  }
+
   /** Super-iterations of the last [[gaussSeidelTable]] run — test
     * instrumentation for the two-level convergence property (iteration
     * count roughly independent of block count).
@@ -83,7 +155,7 @@ object FillTable {
     * no cells at all (sparse tables) contribute 0 to their neighbors.
     * Block-count-sized — runs on the driver between super-iterations.
     */
-  private def coarseValueSolve(stats: Array[org.apache.spark.sql.Row],
+  private def coarseValueSolve(stats: Array[(Int, Int, Double, Int)],
                                nbx: Int, nby: Int, perX: Boolean)
       : scala.collection.Map[Long, Double] = {
     val free = Array.ofDim[Boolean](nbx, nby)
@@ -96,13 +168,11 @@ object FillTable {
     // their means track the true solution's block means; anchoring at
     // the known-cell mean instead would pin edge values where center
     // values belong and bias the whole coarse surface by O(blockSize).
-    stats.foreach { r =>
-      val bi = r.getInt(0); val bj = r.getInt(1)
+    stats.foreach { case (bi, bj, v, hasKnown) =>
       if (in(bi, bj)) {
-        val v = r.getDouble(2)
         u(bi)(bj) = v
         m(bi)(bj) = v
-        free(bi)(bj) = r.getInt(3) == 0
+        free(bi)(bj) = hasKnown == 0
       }
     }
     def look(i0: Int, j0: Int): Double = {
@@ -252,13 +322,24 @@ object FillTable {
       var dbjs: List[Int] = List(0)
       if (c.cj % b >= b - wy && bj < nby - 1) dbjs = dbjs :+ 1
       if (c.cj % b < wy && bj > 0) dbjs = dbjs :+ -1
-      val seen = new scala.collection.mutable.HashSet[Long]
+      // dedupe over at most 9 targets with a linear scan of a small
+      // array — no per-cell heap allocation beyond the output itself
+      // (this runs once per cell per super-iteration/pass)
+      val seen = new Array[Long](9)
+      var nSeen = 0
       for {
         di <- dbis.iterator
         dj <- dbjs.iterator
         tbi = if (perX) (bi + di + nbx) % nbx else bi + di
         tbj = bj + dj
-        if seen.add((tbi.toLong << 32) | (tbj & 0xFFFFFFFFL))
+        key = (tbi.toLong << 32) | (tbj & 0xFFFFFFFFL)
+        if {
+          var dup = false
+          var s = 0
+          while (s < nSeen) { if (seen(s) == key) dup = true; s += 1 }
+          if (!dup) { seen(nSeen) = key; nSeen += 1 }
+          !dup
+        }
       } yield (tbi, tbj, c, di != 0 || dj != 0)
     }
   }
@@ -277,7 +358,10 @@ object FillTable {
     */
   private def loessPass(state: Dataset[FillCell], b: Int, wx: Int,
                         wy: Int, nx: Int, ny: Int, perX: Boolean,
-                        referenceMode: Boolean): Dataset[FillCell] = {
+                        referenceMode: Boolean,
+                        resAcc: MaxAccumulator = null,
+                        holeAcc: CountAccumulator = null)
+      : Dataset[FillCell] = {
     import state.sparkSession.implicits._
     haloed(state, b, wx, wy, nx, ny, perX)
       .groupByKey { case (bi, bj, _, _) =>
@@ -346,27 +430,49 @@ object FillTable {
           }
           if (wSum != 0.0) wvSum / wSum else Double.NaN
         }
+        // emit EAGERLY so the per-pass statistics (max residual / hole
+        // count) ride the materialization job through accumulators,
+        // replacing the separate agg/count job per pass
+        val out = new Array[FillCell](home.length)
+        var maxRes = 0.0
+        var nHoles = 0L
+        var hi = 0
         if (referenceMode)
           // reference validity split: only ORIGINAL holes re-smooth;
           // every neighbor (holes included) is defined after the first
           // guess, so the whole window contributes
-          home.iterator.map { c =>
-            if (!c.mask) c
-            else {
-              val v = windowAt(c.ci, c.cj)
-              if (!v.isNaN) FillCell(c.ci, c.cj, v, c.mask,
-                math.abs(v - c.z))
-              else c
-            }
+          while (hi < home.length) {
+            val c = home(hi)
+            val o =
+              if (!c.mask) c
+              else {
+                val v = windowAt(c.ci, c.cj)
+                if (!v.isNaN) FillCell(c.ci, c.cj, v, c.mask,
+                  math.abs(v - c.z))
+                else c
+              }
+            if (o.res > maxRes) maxRes = o.res
+            if (o.z.isNaN) nHoles += 1
+            out(hi) = o
+            hi += 1
           }
         else
-          home.iterator.map { c =>
-            if (!c.z.isNaN) c
-            else {
-              val v = windowAt(c.ci, c.cj)
-              if (!v.isNaN) FillCell(c.ci, c.cj, v, c.mask, 0.0) else c
-            }
+          while (hi < home.length) {
+            val c = home(hi)
+            val o =
+              if (!c.z.isNaN) c
+              else {
+                val v = windowAt(c.ci, c.cj)
+                if (!v.isNaN) FillCell(c.ci, c.cj, v, c.mask, 0.0) else c
+              }
+            if (o.res > maxRes) maxRes = o.res
+            if (o.z.isNaN) nHoles += 1
+            out(hi) = o
+            hi += 1
           }
+        if (resAcc != null) resAcc.add(maxRes)
+        if (holeAcc != null) holeAcc.add(nHoles)
+        out.iterator
       }
   }
 
@@ -425,6 +531,13 @@ object FillTable {
     // restriction job + driver collect is pure overhead — skip it
     var coarseActive = coarseDamping > 0.0 && nbx.toLong * nby >= 9
     var prevResidual = Double.MaxValue
+    // coarse restriction resolution (constant across supers): past the
+    // driver gate, restrict DISTRIBUTEDLY to super-blocks of sb fine
+    // blocks per side first (the second coarse level)
+    val nBlocks = nbx.toLong * nby
+    val sb =
+      if (nBlocks <= CoarseDriverGate) 1
+      else math.ceil(math.sqrt(nBlocks.toDouble / CoarseDriverGate)).toInt
     while (it < maxSuperIterations && residual > epsilon) {
       // TWO-LEVEL acceleration: add the coarse correction computed from
       // the previous iteration's block means before relaxing (see
@@ -445,6 +558,21 @@ object FillTable {
             if (e == 0.0) c else c.copy(z = c.z + e)
           }
         }
+      // per-super statistics ride the materialization job itself:
+      // the max residual always; the per-block restriction stats
+      // whenever the coarse level runs at fine-block resolution
+      // (sb == 1 — each block is exactly one group, so put-semantics
+      // accumulation is retry-idempotent). This removes the separate
+      // residual-agg job AND (at sb == 1) the groupBy+collect
+      // restriction job from every super-iteration.
+      val resAcc = new MaxAccumulator
+      spark.sparkContext.register(resAcc, s"gsRes$it")
+      val blockAcc =
+        if (coarseActive && sb == 1) {
+          val a = new BlockStatsAccumulator
+          spark.sparkContext.register(a, s"gsBlocks$it")
+          a
+        } else null
       val next = haloed(base, b, haloWidth, haloWidth, nx, ny, perX)
         .groupByKey { case (bi, bj, _, _) => (bi.toLong << 32) | (bj & 0xFFFFFFFFL) }
         .flatMapGroups { (gk, rows) =>
@@ -558,62 +686,71 @@ object FillTable {
           // residual = change over the WHOLE outer iteration (c.z is the
           // incoming state): the last inner-sweep delta only measures
           // LOCAL halo-fixed convergence and stalls long before the
-          // global fixed point
-          home.iterator.map { c =>
+          // global fixed point. Emit EAGERLY so the residual and the
+          // block restriction stats ride this job through the
+          // accumulators.
+          val out = new Array[FillCell](home.length)
+          var maxRes = 0.0
+          var zSum = 0.0
+          var known = 0
+          var hi = 0
+          while (hi < home.length) {
+            val c = home(hi)
             val ly = c.cj - yo
             val n = xSlots(c.ci, xsBuf)
             val z = if (n > 0 && ly >= 0 && ly < wyw)
               arr(xsBuf(0) * wyw + ly) else c.z
-            FillCell(c.ci, c.cj, z, c.mask,
-              if (c.mask) math.abs(z - c.z) else 0.0)
+            val res = if (c.mask) math.abs(z - c.z) else 0.0
+            if (res > maxRes) maxRes = res
+            zSum += z
+            if (!c.mask) known = 1
+            out(hi) = FillCell(c.ci, c.cj, z, c.mask, res)
+            hi += 1
           }
+          resAcc.add(maxRes)
+          if (blockAcc != null)
+            blockAcc.add((gk, zSum, home.length.toLong, known))
+          out.iterator
         }
         .localCheckpoint()
-      // the residual agg is one tiny extra job over materialized blocks;
-      // on small lattices (where the agg job costs a fraction of a
-      // super-iteration) check every iteration — an unchecked converged
-      // super is a whole wasted shuffle+checkpoint — and amortize to
-      // every 4th only when the agg scans a lattice big enough to
-      // matter
-      val checkEvery = if (nx.toLong * ny <= (1L << 16)) 1 else 4
-      if (it % checkEvery == 0 || it == maxSuperIterations - 1) {
-        residual = next.agg(max(col("res"))).head().getDouble(0)
-        // retire the coarse level once it stops helping: while it
-        // carries the global error the residual drops geometrically
-        // (measured ≥ 2× per 4-super window); once progress flattens,
-        // what is left is the coarse/fine discretization gap, which
-        // corrections would re-inject forever and stall the residual
-        // ABOVE epsilon (the endgame belongs to pure RAS, whose
-        // remaining error is local). Also retire near the fixed point
-        // outright. The retirement cadence stays FOUR supers even when
-        // the epsilon check runs every super — the 2x criterion is
-        // calibrated on 4-super windows, and judging it per super
-        // retires the accelerator mid-climb.
-        if (it % 4 == 0 || it == maxSuperIterations - 1) {
-          if (coarseActive &&
-              (residual <= 100.0 * epsilon || residual > 0.5 * prevResidual))
-            coarseActive = false
-          prevResidual = residual
-        }
-        if (sys.env.contains("GRAFT_GS_DEBUG"))
-          println(s"[gsdebug] it=$it residual=$residual active=" +
-            coarseActive)
+      // the residual is free every super now (it rode the checkpoint
+      // job); the coarse retirement cadence stays FOUR supers — the 2x
+      // criterion is calibrated on 4-super windows, and judging it per
+      // super retires the accelerator mid-climb: while it carries the
+      // global error the residual drops geometrically (measured ≥ 2×
+      // per 4-super window); once progress flattens, what is left is
+      // the coarse/fine discretization gap, which corrections would
+      // re-inject forever and stall the residual ABOVE epsilon (the
+      // endgame belongs to pure RAS, whose remaining error is local).
+      // Also retire near the fixed point outright.
+      residual = resAcc.value
+      if (it % 4 == 0 || it == maxSuperIterations - 1) {
+        if (coarseActive &&
+            (residual <= 100.0 * epsilon || residual > 0.5 * prevResidual))
+          coarseActive = false
+        prevResidual = residual
       }
+      if (sys.env.contains("GRAFT_GS_DEBUG"))
+        println(s"[gsdebug] it=$it residual=$residual active=" +
+          coarseActive)
       // restrict the current block means and solve the coarse companion
-      // problem for the next iteration's correction. The collect is
-      // O(restricted block count): when nbx·nby outgrows
-      // [[CoarseDriverGate]], the restriction coarsens DISTRIBUTEDLY to
-      // super-blocks of sb·blockSize cells first (the second coarse
-      // level), so the driver never holds more than the gate — the
-      // correction is then applied at super-block resolution, which
-      // still carries the global (smooth) error the fine sweeps can't,
-      // and the self-retiring gate keeps the endgame pure RAS either way
-      if (coarseActive) {
-        val nBlocks = nbx.toLong * nby
-        val sb =
-          if (nBlocks <= CoarseDriverGate) 1
-          else math.ceil(math.sqrt(nBlocks.toDouble / CoarseDriverGate))
-            .toInt
+      // problem for the next iteration's correction. At sb == 1 the
+      // restriction stats were already gathered by the accumulator (no
+      // extra job); past [[CoarseDriverGate]] the restriction coarsens
+      // DISTRIBUTEDLY to super-blocks of sb·blockSize cells first (the
+      // second coarse level), so the driver never holds more than the
+      // gate — the correction is then applied at super-block
+      // resolution, which still carries the global (smooth) error the
+      // fine sweeps can't, and the self-retiring gate keeps the endgame
+      // pure RAS either way
+      if (coarseActive && blockAcc != null) {
+        val stats = blockAcc.value.iterator.map { case (k, (s, cnt, kn)) =>
+          ((k >> 32).toInt, k.toInt, s / cnt, kn)
+        }.toArray
+        corr = coarseValueSolve(stats, nbx, nby, perX)
+          .map { case (k, v) => k -> v * coarseDamping }
+        corrEdge = b
+      } else if (coarseActive) {
         val cb = b * sb
         val nbx2 = (nx + cb - 1) / cb
         val nby2 = (ny + cb - 1) / cb
@@ -623,6 +760,7 @@ object FillTable {
           .agg(avg(col("z")).as("v"),
             max(when(col("mask"), 0).otherwise(1)).as("hasKnown"))
           .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
         corr = coarseValueSolve(blockStats, nbx2, nby2, perX)
           .map { case (k, v) => k -> v * coarseDamping }
         corrEdge = cb
@@ -682,10 +820,14 @@ object FillTable {
     var it = 0
     var holes = 1L
     while (it < maxIterations && holes > 0) {
+      val holeAcc = new CountAccumulator
+      spark.sparkContext.register(holeAcc, s"loessHoles$it")
       val next = loessPass(state, b, wx, wy, nx, ny, perX,
-          referenceMode = false)
+          referenceMode = false, holeAcc = holeAcc)
         .localCheckpoint()
-      holes = next.filter(r => r.z.isNaN).count()
+      // hole count gathered during the materialization job — no second
+      // scan; a retry-overcounted value only costs one identity pass
+      holes = holeAcc.value
       releaseCheckpoint(state)
       state = next
       it += 1
@@ -769,10 +911,14 @@ object FillTable {
     var it = 0
     var maxDiff = Double.MaxValue
     while (it < maxIterations && maxDiff >= epsilon) {
+      val resAcc = new MaxAccumulator
+      spark.sparkContext.register(resAcc, s"loessRes$it")
       val next = loessPass(state, b, wx, wy, nx, ny, perX,
-          referenceMode = true)
+          referenceMode = true, resAcc = resAcc)
         .localCheckpoint()
-      maxDiff = next.agg(max(col("res"))).head().getDouble(0)
+      // max |change| gathered during the materialization job (identical
+      // to agg(max(res)): res >= 0 and max is retry-idempotent)
+      maxDiff = resAcc.value
       releaseCheckpoint(state)
       state = next
       it += 1
