@@ -96,6 +96,38 @@ object VecKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Jaccard coefficient of two DISTINCT string arrays in one pass:
+    * |I| / (|a| + |b| - |I|). Bit-identical to
+    * `size(array_intersect(a,b)) / size(array_union(a,b))` for distinct
+    * inputs (|union| = |a| + |b| - |common|, and the division operands
+    * are the same exact integers widened to double).
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0)
+      // |union| = 0: the Column form divides by zero, which under ANSI
+      // mode (Spark 4 default) is an error — preserve the fail-loud
+      // contract (exception class differs; no input with a defined
+      // result is affected)
+      throw new ArithmeticException(
+        "[DIVIDE_BY_ZERO] jaccard of two empty shingle arrays")
+    val (small, big, ns) =
+      if (na <= nb) (a, b, na) else (b, a, nb)
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(4, ns * 2))
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val nbig = big.numElements()
+    var j = 0
+    while (j < nbig) {
+      if (set.contains(big.getUTF8String(j))) inter += 1
+      j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** xxhash64(seed 42) of every string element — the `transform(sh,
     * s => xxhash64(s))` chain as one loop, delegating to the exact
     * hash the built-in expression uses (a null element hashes to the

@@ -78,6 +78,23 @@ case class MinhashFromHashes(child: Expression, rots: Array[Int],
     copy(child = c)
 }
 
+/** One-pass Jaccard coefficient of two distinct string arrays —
+  * |I| / (|a| + |b| - |I|), bit-identical to the intersect/union size
+  * ratio for distinct inputs.
+  */
+case class JaccardCoeff(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** xxhash64 (seed 42) of every element of a string array. */
 case class HashStringArray(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

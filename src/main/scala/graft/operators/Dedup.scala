@@ -152,12 +152,34 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    candidates
+    scoredPairs(candidates
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b"),
+      threshold)
+  }
+
+  /** Exact-Jaccard scoring of (sh_a, sh_b) pairs at `threshold`: a
+    * conservative SIZE BOUND — jac <= min(|a|,|b|) / (|a|+|b|-min) —
+    * prunes pairs that cannot reach the threshold BEFORE the per-pair
+    * hash-set intersection (guide §2.3: don't compute what a cheap
+    * bound already rejects; at threshold 0.9 the bound kills almost
+    * every candidate), then one fused intersect pass scores survivors.
+    * Results identical: pruned pairs fail the jaccard filter by
+    * construction, and the fused coefficient is bit-equal to the
+    * intersect/union size ratio on distinct shingle arrays.
+    */
+  private def scoredPairs(pairs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val jac = ColumnBridge.column(graft.functions.JaccardCoeff(
+      ColumnBridge.expression(col("sh_a")),
+      ColumnBridge.expression(col("sh_b"))))
+    val sizeBound = least(size(col("sh_a")), size(col("sh_b")))
+      .cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) -
+        least(size(col("sh_a")), size(col("sh_b")))).cast("double")
+    val pre =
+      if (threshold > 0.0) pairs.filter(sizeBound >= threshold) else pairs
+    pre.select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -178,8 +200,6 @@ object Dedup {
                         maxAllPairsRows: Long = 100000L): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val jac = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
     val pairs = candidates match {
       case Some(cand) =>
         cand.select(col("id_a"), col("id_b"))
@@ -203,8 +223,7 @@ object Dedup {
         val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
     }
-    pairs.select(col("id_a"), col("id_b"), jac)
-      .filter(col("jaccard") >= threshold)
+    scoredPairs(pairs, threshold)
   }
 
   /** 64-bit SimHash per document: tokens hashed, each bit position summed

@@ -59,6 +59,42 @@ class VecExprSpec extends AnyFunSuite {
     }
   }
 
+  test("JaccardCoeff equals intersect/union ratio on distinct arrays") {
+    // NOTE: no pair of BOTH-empty shingle arrays here — that divides by
+    // zero, which ANSI mode turns into an error in the Column form and
+    // in the fused kernel alike (pinned separately below)
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "p q r s"), (4L, "x y"), (6L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(col("text"), 2)
+    val withSh = docs.select(col("doc_id").as("id"), sh.as("sh"))
+    val pairs = withSh.select(col("id").as("ia"), col("sh").as("sa"))
+      .crossJoin(withSh.select(col("id").as("ib"), col("sh").as("sb")))
+      .filter(col("ia") < col("ib"))
+    val hof = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    val fused = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.JaccardCoeff(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("sa")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("sb"))))
+    val rows = pairs.select(hof.as("h"), fused.as("f")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(0); val f = r.getDouble(1)
+      assert(h.isNaN == f.isNaN && (h.isNaN || h == f), s"$h vs $f")
+    }
+    // both-empty: the ANSI divide-by-zero contract is preserved
+    val empty = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+    val ep = empty.select(col("doc_id").as("ia"), col("sh").as("sa"))
+      .crossJoin(empty.select(col("doc_id").as("ib"), col("sh").as("sb")))
+      .filter(col("ia") < col("ib"))
+    intercept[Exception] {
+      ep.select(fused.as("f")).collect()
+    }
+  }
+
   test("shingleHashes / minhashSignature match the HOF forms, incl. empty") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
