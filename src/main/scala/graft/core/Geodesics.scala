@@ -302,7 +302,13 @@ object Geodesics {
 
     def sincosBeta(phi: Double): (Double, Double) = {
       val b = math.atan((1.0 - f) * math.tan(math.toRadians(phi)))
-      (math.sin(b), math.cos(b))
+      // clamp cos β away from an exact 0 (GeographicLib's tiny*): the
+      // pole algebra below (salp0/cb2, the /cb2 in calp2, the pole omg1
+      // cancellation) relies on cosβ being tiny-but-nonzero, which today
+      // is a floating-point artifact of toRadians(90) != pi/2; the clamp
+      // makes the invariant explicit instead of inherited. No current
+      // input is affected (cos(toRadians(±90)) ≈ 6.1e-17 >> 1.5e-154).
+      (math.sin(b), math.max(math.cos(b), 1.49e-154))
     }
     val (sb1raw, cb1) = sincosBeta(phi1)
     val (sb2, cb2) = sincosBeta(phi2)

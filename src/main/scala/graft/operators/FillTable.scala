@@ -258,9 +258,19 @@ object FillTable {
           round((col(c).cast("double") - lit(axis.front)) / lit(axis.step))
             .cast("int"))
       else {
+        // LEFT join + fail-loud null check: a coordinate that misses the
+        // exact-equality axis map (NaN coordinate, or axes supplied by a
+        // future caller rather than axesOf) must surface as an error,
+        // not silently drop the row from the fill output
         val m = spark.createDataFrame(
             axis.values.zipWithIndex.toSeq).toDF(c + "__v", idx)
-        df.join(broadcast(m), col(c).cast("double") === col(c + "__v"))
+        df.join(broadcast(m), col(c).cast("double") === col(c + "__v"),
+            "left")
+          .withColumn(idx, when(col(idx).isNull,
+            raise_error(concat(lit(s"indexedCells: coordinate $c="),
+              col(c).cast("string"),
+              lit(" not found on the extracted axis"))))
+            .otherwise(col(idx)))
           .drop(c + "__v")
       }
     mapped(mapped(gridTable.select(col(xCol), col(yCol),

@@ -74,7 +74,7 @@ private[operators] object WindowedTileJoin {
     * regardless of probe skew. Var only so specs can force multi-chunk
     * evaluation on small fixtures.
     */
-  private[operators] var ProbeChunk: Int = 1 << 16
+  @volatile private[operators] var ProbeChunk: Int = 1 << 16
 
   @inline private def fd(a: Int, b: Int): Int = Math.floorDiv(a, b)
   @inline private def fm(a: Int, b: Int): Int = Math.floorMod(a, b)
