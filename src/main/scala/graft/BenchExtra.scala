@@ -38,6 +38,7 @@ object BenchExtra {
 
     mode match {
       case "explain" =>
+        require(args.length >= 2, "usage: explain <outDir> [query...]")
         val outDir = args(1)
         val names = args.drop(2).toSeq match {
           case Nil => SparkEntry.queries.keys.toSeq.sorted
@@ -64,7 +65,12 @@ object BenchExtra {
           case Nil => SparkEntry.queries.keys.toSeq.sorted
           case xs  => xs
         }
-        val results = names.map { name =>
+        val known = names.filter { n =>
+          val ok = SparkEntry.queries.contains(n)
+          if (!ok) System.err.println(s"[extra] unknown query $n — skipped")
+          ok
+        }
+        val results = known.map { name =>
           val fn = SparkEntry.queries(name)
           val times = (0 until reps).map { _ =>
             spark.sparkContext.setJobDescription(s"extra:$name")
@@ -74,10 +80,11 @@ object BenchExtra {
                 fn(spark, sfDir).write.format("noop")
                   .mode("overwrite").save()
               else fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
             } catch { case e: Throwable =>
               System.err.println(s"[extra] $name FAILED: $e")
+              Double.NaN // a failed run must not masquerade as a fast one
             }
-            (System.nanoTime() - t0) / 1e9
           }
           name -> times
         }
@@ -86,7 +93,8 @@ object BenchExtra {
             ts.map(t => f"$t%.3f").mkString(",")}")
         }
         val tot = results.map(_._2.min).sum
-        println(f"TOTAL(min) = $tot%.3f s over ${results.size} queries")
+        println(f"TOTAL(min) = $tot%.3f s over ${results.size} queries" +
+          (if (tot.isNaN) "  (FAILURES present — total invalid)" else ""))
     }
     spark.stop()
   }

@@ -41,7 +41,15 @@ object VecKernels {
     var j = n
     while (j < a.numElements()) { val x = elem(a, j, aFloat); na += x * x; j += 1 }
     while (j < b.numElements()) { val y = elem(b, j, bFloat); nb += y * y; j += 1 }
-    d / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0)
+      // a zero-norm vector: the Column form's Divide throws under ANSI
+      // mode (Spark 4 default) — preserve the fail-loud contract rather
+      // than returning NaN, which Spark would sort ABOVE every real
+      // cosine in a descending top-k window
+      throw new ArithmeticException(
+        "[DIVIDE_BY_ZERO] cosine of a zero-norm embedding")
+    d / denom
   }
 
   /** Sign-random-projection bucket id: for plane p, proj = left fold of
@@ -72,6 +80,9 @@ object VecKernels {
     * [], ...))` is null — preserving the HOF form's behavior for
     * shingle-less documents.
     */
+  /** All-null k-slot signature (the null-input value of the HOF form). */
+  def minhashNulls(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
+
   def minhashSig(hashes: ArrayData, rots: Array[Int],
                  xors: Array[Long]): ArrayData = {
     val k = rots.length

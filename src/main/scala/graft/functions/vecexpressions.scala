@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -45,14 +47,26 @@ case class LshBucket(child: Expression, planes: Int, dims: Int,
                      matrix: Array[Double])
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  // a NULL embedding buckets to 0, exactly like the HOF form it
+  // replaces (null projection -> `when` false branch -> 0 per plane)
+  override def nullable: Boolean = false
   private lazy val isF = VecExprUtil.isFloatArray(child)
-  override def nullSafeEval(a: Any): Any =
-    VecKernels.lshBucket(a.asInstanceOf[ArrayData], matrix, planes, dims, isF)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else VecKernels.lshBucket(v.asInstanceOf[ArrayData], matrix, planes,
+      dims, isF)
+  }
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("lshMatrix", matrix, "double[]")
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.VecKernels.lshBucket($a, $m, $planes, $dims, $isF)")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = ${c.isNull} ? 0L :
+        graft.functions.VecKernels.lshBucket(${c.value}, $m, $planes,
+          $dims, $isF);""",
+      isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -65,14 +79,26 @@ case class MinhashFromHashes(child: Expression, rots: Array[Int],
                              xors: Array[Long])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullSafeEval(a: Any): Any =
-    VecKernels.minhashSig(a.asInstanceOf[ArrayData], rots, xors)
+  // a NULL hash array yields an array of k null slots, exactly like
+  // the `array(array_min(transform(null, ...)), ...)` form it replaces
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) VecKernels.minhashNulls(rots.length)
+    else VecKernels.minhashSig(v.asInstanceOf[ArrayData], rots, xors)
+  }
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val r = ctx.addReferenceObj("mhRots", rots, "int[]")
     val x = ctx.addReferenceObj("mhXors", xors, "long[]")
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.VecKernels.minhashSig($a, $r, $x)")
+    val c = child.genCode(ctx)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code = code"""
+      ${c.code}
+      $ad ${ev.value} = ${c.isNull}
+        ? graft.functions.VecKernels.minhashNulls(${rots.length})
+        : graft.functions.VecKernels.minhashSig(${c.value}, $r, $x);""",
+      isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

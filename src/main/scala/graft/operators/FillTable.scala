@@ -315,42 +315,46 @@ object FillTable {
                      nx: Int, ny: Int, perX: Boolean)
       : Dataset[(Int, Int, FillCell, Boolean)] = {
     import state.sparkSession.implicits._
-    state.flatMap { c =>
-      val bi = c.ci / b
-      val bj = c.cj / b
-      val nbx = (nx + b - 1) / b
-      val nby = (ny + b - 1) / b
-      // home target FIRST: with periodic x and few blocks per row,
-      // di = -1 and di = +1 can wrap to the SAME target block (nbx <= 2
-      // with a wide halo), so targets are deduped per cell — and the
-      // home copy must win the dedupe, or a block could lose one of its
-      // own cells to a halo-flagged duplicate
-      var dbis: List[Int] = List(0)
-      if ((c.ci % b >= b - wx || (perX && c.ci >= nx - wx)) &&
-        (bi < nbx - 1 || perX)) dbis = dbis :+ 1
-      if (c.ci % b < wx && (bi > 0 || perX)) dbis = dbis :+ -1
-      var dbjs: List[Int] = List(0)
-      if (c.cj % b >= b - wy && bj < nby - 1) dbjs = dbjs :+ 1
-      if (c.cj % b < wy && bj > 0) dbjs = dbjs :+ -1
-      // dedupe over at most 9 targets with a linear scan of a small
-      // array — no per-cell heap allocation beyond the output itself
-      // (this runs once per cell per super-iteration/pass)
+    state.mapPartitions { cells =>
+      // dedupe over at most 9 targets with a linear scan of ONE
+      // task-shared scratch array (reset per cell via nSeen) — no
+      // per-cell heap allocation on the hottest distributed loop; safe
+      // because flatMap fully drains each cell's targets before the
+      // next cell starts
       val seen = new Array[Long](9)
-      var nSeen = 0
-      for {
-        di <- dbis.iterator
-        dj <- dbjs.iterator
-        tbi = if (perX) (bi + di + nbx) % nbx else bi + di
-        tbj = bj + dj
-        key = (tbi.toLong << 32) | (tbj & 0xFFFFFFFFL)
-        if {
-          var dup = false
-          var s = 0
-          while (s < nSeen) { if (seen(s) == key) dup = true; s += 1 }
-          if (!dup) { seen(nSeen) = key; nSeen += 1 }
-          !dup
-        }
-      } yield (tbi, tbj, c, di != 0 || dj != 0)
+      cells.flatMap { c =>
+        val bi = c.ci / b
+        val bj = c.cj / b
+        val nbx = (nx + b - 1) / b
+        val nby = (ny + b - 1) / b
+        // home target FIRST: with periodic x and few blocks per row,
+        // di = -1 and di = +1 can wrap to the SAME target block (nbx <= 2
+        // with a wide halo), so targets are deduped per cell — and the
+        // home copy must win the dedupe, or a block could lose one of its
+        // own cells to a halo-flagged duplicate
+        var dbis: List[Int] = List(0)
+        if ((c.ci % b >= b - wx || (perX && c.ci >= nx - wx)) &&
+          (bi < nbx - 1 || perX)) dbis = dbis :+ 1
+        if (c.ci % b < wx && (bi > 0 || perX)) dbis = dbis :+ -1
+        var dbjs: List[Int] = List(0)
+        if (c.cj % b >= b - wy && bj < nby - 1) dbjs = dbjs :+ 1
+        if (c.cj % b < wy && bj > 0) dbjs = dbjs :+ -1
+        var nSeen = 0
+        for {
+          di <- dbis.iterator
+          dj <- dbjs.iterator
+          tbi = if (perX) (bi + di + nbx) % nbx else bi + di
+          tbj = bj + dj
+          key = (tbi.toLong << 32) | (tbj & 0xFFFFFFFFL)
+          if {
+            var dup = false
+            var s = 0
+            while (s < nSeen) { if (seen(s) == key) dup = true; s += 1 }
+            if (!dup) { seen(nSeen) = key; nSeen += 1 }
+            !dup
+          }
+        } yield (tbi, tbj, c, di != 0 || dj != 0)
+      }
     }
   }
 
@@ -447,13 +451,13 @@ object FillTable {
         var maxRes = 0.0
         var nHoles = 0L
         var hi = 0
-        if (referenceMode)
-          // reference validity split: only ORIGINAL holes re-smooth;
-          // every neighbor (holes included) is defined after the first
-          // guess, so the whole window contributes
-          while (hi < home.length) {
-            val c = home(hi)
-            val o =
+        while (hi < home.length) {
+          val c = home(hi)
+          val o =
+            if (referenceMode) {
+              // reference validity split: only ORIGINAL holes
+              // re-smooth; every neighbor (holes included) is defined
+              // after the first guess, so the whole window contributes
               if (!c.mask) c
               else {
                 val v = windowAt(c.ci, c.cj)
@@ -461,25 +465,18 @@ object FillTable {
                   math.abs(v - c.z))
                 else c
               }
-            if (o.res > maxRes) maxRes = o.res
-            if (o.z.isNaN) nHoles += 1
-            out(hi) = o
-            hi += 1
-          }
-        else
-          while (hi < home.length) {
-            val c = home(hi)
-            val o =
+            } else {
               if (!c.z.isNaN) c
               else {
                 val v = windowAt(c.ci, c.cj)
                 if (!v.isNaN) FillCell(c.ci, c.cj, v, c.mask, 0.0) else c
               }
-            if (o.res > maxRes) maxRes = o.res
-            if (o.z.isNaN) nHoles += 1
-            out(hi) = o
-            hi += 1
-          }
+            }
+          if (o.res > maxRes) maxRes = o.res
+          if (o.z.isNaN) nHoles += 1
+          out(hi) = o
+          hi += 1
+        }
         if (resAcc != null) resAcc.add(maxRes)
         if (holeAcc != null) holeAcc.add(nHoles)
         out.iterator
@@ -718,7 +715,13 @@ object FillTable {
             hi += 1
           }
           resAcc.add(maxRes)
-          if (blockAcc != null)
+          // halo-only groups (a cell-less block receiving neighbors'
+          // halo rows on a sparse table) must NOT contribute a
+          // restriction row: the groupBy restriction they replace never
+          // produced one, and 0/0 would poison the coarse solve with a
+          // NaN "free" block where the documented contract is
+          // "blocks with no cells contribute 0 to their neighbors"
+          if (blockAcc != null && home.nonEmpty)
             blockAcc.add((gk, zSum, home.length.toLong, known))
           out.iterator
         }

@@ -95,6 +95,39 @@ class VecExprSpec extends AnyFunSuite {
     }
   }
 
+  test("null inputs: LshBucket -> 0, MinhashFromHashes -> k null slots") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, null))
+      .toDF("id", "embedding")
+    // HOF form on a null embedding: null projection -> `when` false
+    // branch -> 0 per plane; the fused expression must match
+    val buckets = df.select(col("id"),
+        Similarity.lshBucket(col("embedding"), 4, 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!buckets.contains(0L) || true)
+    assert(buckets(2L) == 0L)
+    val hofBucket = {
+      val m = Similarity.planeMatrix(4, 2, 42L)
+      (0 until 4).map { p =>
+        val proj = aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            typedLit(m(p).toSeq), (x, hh) => x * hh),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val hofB = df.select(col("id"), hofBucket.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets == hofB)
+    // null hash array -> k null slots (array(array_min(transform(null))))
+    val hd = Seq((1L, Array(7L, 9L)), (2L, null)).toDF("id", "hashes")
+    val sig = hd.select(
+        Dedup.minhashSignatureFromHashes(col("hashes"), 3).as("s"))
+      .collect()
+    assert(sig.forall(!_.isNullAt(0)))
+    assert(sig.exists(_.getSeq[Any](0) == Seq(null, null, null)))
+  }
+
   test("shingleHashes / minhashSignature match the HOF forms, incl. empty") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
